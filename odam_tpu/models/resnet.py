@@ -1,0 +1,116 @@
+"""ResNet backbone with frozen batch norm (Flax, NHWC).
+
+TPU-native equivalent of the reference's torchvision ResNet-50 +
+FrozenBatchNorm2d feature extractor (backbone.py:21-94): NHWC layout for TPU
+conv tiling, frozen BN kept as four buffers so torchvision weights port 1:1
+(porting transposes OIHW -> HWIO; see odam_tpu/models/porting.py), stride-32
+layer4 features returned for DETR plus optional intermediate layers.
+
+Compute dtype is configurable (bfloat16 on TPU); parameters stay float32.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import jax
+
+Array = jax.Array
+
+RESNET50_STAGES = (3, 4, 6, 3)
+
+
+class FrozenBatchNorm(nn.Module):
+    """Affine-only batch norm with fixed statistics (backbone.py:21-56)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        scale = weight * jax.lax.rsqrt(var + 1e-5)
+        shift = bias - mean * scale
+        return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck block with identity/projection shortcut."""
+
+    mid: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out_ch = self.mid * 4
+        conv = lambda f, k, s, d, name: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding=[(d * (k // 2),) * 2] * 2,
+            kernel_dilation=(d, d), use_bias=False, dtype=self.dtype, name=name,
+        )
+        identity = x
+        y = conv(self.mid, 1, 1, 1, "conv1")(x)
+        y = FrozenBatchNorm(self.mid, self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.mid, 3, self.stride, self.dilation, "conv2")(y)
+        y = FrozenBatchNorm(self.mid, self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(out_ch, 1, 1, 1, "conv3")(y)
+        y = FrozenBatchNorm(out_ch, self.dtype, name="bn3")(y)
+        if x.shape[-1] != out_ch or self.stride != 1:
+            identity = conv(out_ch, 1, self.stride, 1, "downsample_conv")(x)
+            identity = FrozenBatchNorm(out_ch, self.dtype, name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-D variants with frozen BN; returns requested stage outputs.
+
+    Args (module attrs):
+        stage_sizes: blocks per stage (ResNet-50 = (3, 4, 6, 3)).
+        return_stages: which stages to return, 1-indexed; the last entry is
+            the DETR feature map (stride 32 without dilation).
+        dilate_last: replace the last stage's stride with dilation
+            (reference's ``dilation`` flag, backbone.py:90-92).
+    """
+
+    stage_sizes: Sequence[int] = RESNET50_STAGES
+    return_stages: Sequence[int] = (4,)
+    dilate_last: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> dict[int, Array]:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        outputs: dict[int, Array] = {}
+        mid = 64
+        for stage_idx, n_blocks in enumerate(self.stage_sizes, start=1):
+            dilate = self.dilate_last and stage_idx == len(self.stage_sizes)
+            for block_idx in range(n_blocks):
+                stride = 2 if (block_idx == 0 and stage_idx > 1 and not dilate) else 1
+                dilation = 2 if dilate else 1
+                x = Bottleneck(
+                    mid, stride=stride, dilation=dilation, dtype=self.dtype,
+                    name=f"layer{stage_idx}_{block_idx}",
+                )(x)
+            if stage_idx in self.return_stages:
+                outputs[stage_idx] = x
+            mid *= 2
+        return outputs
+
+
+def resnet50(dtype: Any = jnp.float32, dilate_last: bool = False,
+             return_stages: Sequence[int] = (4,)) -> ResNet:
+    return ResNet(stage_sizes=RESNET50_STAGES, return_stages=return_stages,
+                  dilate_last=dilate_last, dtype=dtype)

@@ -1,0 +1,60 @@
+"""Multi-head attention kernels.
+
+One attention core shared by the DETR transformer and the associator GNN.
+``mha_core`` is the pure-JAX path (XLA fuses it well at DETR's ~1k-token
+scale); :mod:`odam_tpu.ops.pallas_attention` provides a fused Pallas TPU
+kernel for the encoder hot loop, selected via ``use_pallas``.
+
+Layout is batch-first [B, L, D] throughout (the reference uses torch's
+seq-first [L, B, D]; batch-first maps better onto TPU tiling).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def mha_core(q: Array, k: Array, v: Array, num_heads: int,
+             key_padding_mask: Array | None = None,
+             use_pallas: bool = False) -> Array:
+    """Scaled dot-product attention over heads.
+
+    Args:
+        q: [B, Lq, D]; k, v: [B, Lk, D] (already projected).
+        num_heads: H; D must be divisible by H.
+        key_padding_mask: optional [B, Lk] bool, True = PADDED (masked out),
+            matching the torch key_padding_mask convention used by the
+            reference (transformer.py:160-161).
+
+    Returns:
+        [B, Lq, D] attention output (pre out-projection).
+    """
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    H = num_heads
+    dh = D // H
+
+    qh = q.reshape(B, Lq, H, dh)
+    kh = k.reshape(B, Lk, H, dh)
+    vh = v.reshape(B, Lk, H, dh)
+
+    if use_pallas:
+        from . import pallas_attention
+
+        out = pallas_attention.fused_attention(qh, kh, vh, key_padding_mask)
+        return out.reshape(B, Lq, D)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(
+        jnp.asarray(dh, q.dtype)
+    )
+    if key_padding_mask is not None:
+        logits = jnp.where(
+            key_padding_mask[:, None, None, :], NEG_INF, logits
+        )
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+    return out.reshape(B, Lq, D)

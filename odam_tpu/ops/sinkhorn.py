@@ -1,0 +1,95 @@
+"""Log-space optimal transport with a learned dustbin (Sinkhorn).
+
+On-device re-expression of the reference's SuperGlue-style matching head
+(reference: src/models/associator.py:283-312): identical math, with the
+Python ``for`` iteration loop replaced by ``lax.scan`` so the whole solve is
+one compiled region, and with optional row/column masks so padded track /
+detection slots can flow through a single static-shape program.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_NEG = -1e9
+
+
+def log_sinkhorn(Z: Array, log_mu: Array, log_nu: Array, iters: int) -> Array:
+    """Sinkhorn normalization in log space (reference: associator.py:306-312).
+
+    Args:
+        Z: [..., M+1, N+1] augmented score matrix.
+        log_mu: [..., M+1], log_nu: [..., N+1] marginals.
+        iters: number of Sinkhorn iterations (static).
+    """
+    u0 = jnp.zeros_like(log_mu)
+    v0 = jnp.zeros_like(log_nu)
+
+    def step(carry, _):
+        u, v = carry
+        u = log_mu - jax.nn.logsumexp(Z + v[..., None, :], axis=-1)
+        v = log_nu - jax.nn.logsumexp(Z + u[..., :, None], axis=-2)
+        return (u, v), None
+
+    (u, v), _ = jax.lax.scan(step, (u0, v0), None, length=iters)
+    return Z + u[..., :, None] + v[..., None, :]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def log_optimal_transport(scores: Array, alpha: Array, iters: int = 100,
+                          row_mask: Array | None = None,
+                          col_mask: Array | None = None) -> Array:
+    """Differentiable partial assignment in log space with a dustbin row/col.
+
+    Args:
+        scores: [..., M, N] match scores.
+        alpha: scalar learned dustbin score.
+        iters: Sinkhorn iterations (static; reference uses 100).
+        row_mask: optional [..., M] validity of rows (padded rows excluded).
+        col_mask: optional [..., N] validity of columns.
+
+    Returns:
+        [..., M+1, N+1] log assignment matrix normalized so probabilities are
+        multiplied by (m + n), matching reference associator.py:283-303.
+    """
+    m, n = scores.shape[-2], scores.shape[-1]
+    batch = scores.shape[:-2]
+
+    if row_mask is None:
+        row_mask = jnp.ones(batch + (m,), dtype=bool)
+    if col_mask is None:
+        col_mask = jnp.ones(batch + (n,), dtype=bool)
+    row_mask = row_mask.astype(bool)
+    col_mask = col_mask.astype(bool)
+
+    ms = jnp.sum(row_mask, axis=-1).astype(scores.dtype)
+    ns = jnp.sum(col_mask, axis=-1).astype(scores.dtype)
+
+    pair_mask = row_mask[..., :, None] & col_mask[..., None, :]
+    scores = jnp.where(pair_mask, scores, _NEG)
+
+    bins0 = jnp.where(row_mask, alpha, _NEG)[..., :, None]
+    bins1 = jnp.where(col_mask, alpha, _NEG)[..., None, :]
+    corner = jnp.broadcast_to(alpha, batch + (1, 1)).astype(scores.dtype)
+    Z = jnp.concatenate(
+        [
+            jnp.concatenate([scores, bins0], axis=-1),
+            jnp.concatenate([bins1, corner], axis=-1),
+        ],
+        axis=-2,
+    )
+
+    norm = -jnp.log(ms + ns)[..., None]  # [..., 1]
+    log_mu = jnp.concatenate(
+        [jnp.where(row_mask, norm, _NEG), jnp.log(ns)[..., None] + norm], axis=-1
+    )
+    log_nu = jnp.concatenate(
+        [jnp.where(col_mask, norm, _NEG), jnp.log(ms)[..., None] + norm], axis=-1
+    )
+
+    Z = log_sinkhorn(Z, log_mu, log_nu, iters)
+    return Z - norm[..., None]
