@@ -1,0 +1,132 @@
+"""Benchmark: end-to-end per-frame pipeline throughput on one chip.
+
+Runs the full online pipeline — DETR (ResNet-50 + 6+6 transformer, 100
+queries) forward, postprocess/NMS, track-state superquadric projection,
+associator GNN + Sinkhorn(100) + Hungarian decode, track-store update — on
+synthetic frames at ScanNet scale (968x1296 -> 800x1071, the reference's
+inference resize), plus the mapping stage (200-iter superquadric
+optimization over a scene's objects).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps / 30}
+(the 30 fps/chip north star from BASELINE.json).  Detail lines go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from odam_tpu.mapping import optimizer as map_opt, prior, superquadric as sq
+    from odam_tpu.models import associator as assoc_mod, detr as detr_mod
+    from odam_tpu.runtime import processor as proc_mod
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    on_tpu = dev.platform != "cpu"
+
+    # ScanNet-scale input (968x1296 resized shorter-side-800, max 1333).
+    img_h, img_w = (800, 1071) if on_tpu else (320, 416)
+    n_frames = 40 if on_tpu else 6
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    dcfg = detr_mod.DETRConfig(dtype=dtype)
+    detr = detr_mod.DETR(dcfg)
+    dparams = detr.init(jax.random.key(0), jnp.zeros((1, img_h, img_w, 3)))
+    acfg = assoc_mod.AssociatorConfig(dtype=dtype)
+    assoc = assoc_mod.Associator(acfg)
+    pcfg = proc_mod.PipelineConfig(detect_threshold=0.0, score_threshold=0.0)
+    aparams = assoc.init(
+        jax.random.key(1),
+        jnp.full((1, pcfg.max_tracks, pcfg.window, 79), -1.0),
+        jnp.zeros((1, pcfg.max_tracks), bool),
+        jnp.full((1, pcfg.max_dets, 79), -1.0),
+        jnp.zeros((1, pcfg.max_dets), bool),
+    )
+    pipe = proc_mod.OdamPipeline(detr, dparams, assoc, aparams, pcfg)
+
+    K = np.array(
+        [[1170.0 * img_w / 1296, 0, img_w / 2],
+         [0, 1170.0 * img_h / 968, img_h / 2],
+         [0, 0, 1]], np.float32,
+    )
+    pipe.init_sequence(K, img_h, img_w)
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(4, img_h, img_w, 3)).astype(np.float32)
+
+    def pose(f):
+        T = np.eye(4, dtype=np.float32)
+        phi = 0.02 * f
+        T[:3, :3] = np.array(
+            [[np.cos(phi), -np.sin(phi), 0], [np.sin(phi), np.cos(phi), 0], [0, 0, 1]],
+            np.float32,
+        )
+        T[:3, 3] = [0.05 * f, 0, 1.4]
+        return T
+
+    # Warmup (compile both branches: init + associate).
+    t0 = time.time()
+    for f in range(2):
+        r = pipe.process_frame(frames[f % 4], f, pose(f))
+    jax.block_until_ready(r.store.window)
+    log(f"warmup/compile: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for f in range(2, 2 + n_frames):
+        r = pipe.process_frame(frames[f % 4], f, pose(f))
+    jax.block_until_ready(r.store.window)
+    dt = time.time() - t0
+    fps = n_frames / dt
+    log(f"pipeline: {n_frames} frames in {dt:.2f}s -> {fps:.2f} fps "
+        f"(tracks: {len(pipe.tracks)})")
+
+    # Mapping stage: one scene's worth (32 objects x 256 views x 200 iters).
+    O, V = 32, 256
+    obj_cls = np.zeros((O,), np.int32)
+    init = sq.init_params(
+        jnp.asarray(rng.normal(0, 1, (O, 3)).astype(np.float32)),
+        jnp.zeros((O,), jnp.float32),
+        jnp.asarray(rng.uniform(0.5, 2.0, (O, 3)).astype(np.float32)),
+    )
+    args = (
+        init,
+        jnp.asarray(rng.uniform(0, 800, (O, V, 4)).astype(np.float32)),
+        jnp.ones((O, V, 4), jnp.float32),
+        jnp.ones((O, V), jnp.float32),
+        jnp.asarray(
+            np.tile(np.hstack([K, np.zeros((3, 1), np.float32)])[None, None], (O, V, 1, 1))
+        ),
+        jnp.ones((O,), bool),
+        jnp.asarray(prior.prior_invcov_for_classes(obj_cls)),
+    )
+    res = map_opt.optimize_superquadrics(*args, n_iters=200, n_samples=1000)
+    jax.block_until_ready(res.corners)  # compile
+    t0 = time.time()
+    res = map_opt.optimize_superquadrics(*args, n_iters=200, n_samples=1000)
+    jax.block_until_ready(res.corners)
+    map_dt = time.time() - t0
+    log(f"mapping: 200 iters x {O} objs x {V} views x 1000 pts in {map_dt:.2f}s")
+
+    print(json.dumps({
+        "metric": "e2e frames/sec/chip, synthetic ScanNet-scale pipeline "
+                  f"({img_h}x{img_w}, detector+associator+tracking jitted; "
+                  f"mapping 200it/{O}obj: {map_dt:.2f}s)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

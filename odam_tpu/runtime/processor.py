@@ -1,0 +1,365 @@
+"""The online per-frame pipeline: detect -> associate -> track -> map.
+
+TPU-native re-architecture of the reference OdamProcess (src/processor.py):
+the reference interleaves host NumPy, CUDA forwards, a C++ sampler, and
+scipy assignment every frame; here the *entire* per-frame body — DETR
+forward, postprocess/NMS, track-state projection (superquadric surface ->
+current camera), associator GNN + Sinkhorn, Hungarian decode, score gating,
+and track-store update — is one jitted XLA program with no host round-trip.
+The host keeps only the append-only full observation history that the
+offline mapping/merge stages consume.
+
+Pipeline knobs match the reference defaults: detect threshold 0.6, match
+threshold 0.1, attach-score threshold 0.8, <=30 detections/frame, 100-step
+track window (processor.py:22-24, 318, 133).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mapping import constraints, merge, optimizer, prior, superquadric as sq
+from ..models import associator as assoc_mod
+from ..models import detr as detr_mod
+from ..utils import geometry as geo
+from . import tracker
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    detect_threshold: float = 0.6
+    match_threshold: float = 0.1
+    score_threshold: float = 0.8
+    max_tracks: int = 64
+    max_dets: int = 30
+    window: int = 100
+    representation: str = "super_quadric"
+    use_prior: bool = True
+    no_code: bool = True
+    track_bbox_samples: int = 1000  # surface samples for track re-projection
+    optim_iters: int = 200
+    optim_samples: int = 1000
+    min_views: int = 10
+    max_objs: int = 64       # mapping-stage object capacity
+    max_views: int = 256     # mapping-stage views per object
+
+
+class FrameResult(NamedTuple):
+    """Per-frame device outputs handed back to the host history."""
+
+    store: tracker.TrackStore
+    det_rows: Array      # [N, 82] world-frame rows of this frame's detections
+    slots: Array         # [N] target track slot, -1 = dropped
+    attached: Array      # [N] bool
+    n_detections: Array  # [] int32
+
+
+def detection_rows_camera(dets: detr_mod.Detections, frame_id: Array,
+                          img_w: Array, img_h: Array) -> Array:
+    """Assemble the 79-dim camera-frame detection rows (processor.py:269-288).
+
+    Layout: [frame_id, class, bbox_norm(4), dims(3), t_co(3), sin azi,
+    cos azi, score, code(64) = -1].  Angles arrive in degrees from
+    postprocess and are converted to radians here (processor.py:270).
+    """
+    b = 0  # single image
+    N = dets.valid.shape[1]
+    angle_rad = dets.angle_deg[b] * (jnp.pi / 180.0)
+    norm = jnp.stack([img_w, img_h, img_w, img_h]).astype(jnp.float32)
+    rows = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.asarray(frame_id, jnp.float32), (N,))[:, None],
+            dets.classes[b][:, None].astype(jnp.float32),
+            dets.boxes[b] / norm,
+            dets.dims[b],
+            dets.t_co[b],
+            jnp.sin(angle_rad)[:, None],
+            jnp.cos(angle_rad)[:, None],
+            dets.scores[b][:, None],
+            jnp.full((N, 64), -1.0),
+        ],
+        axis=-1,
+    )
+    return jnp.where(dets.valid[b][:, None], rows, -1.0)
+
+
+def lift_rows_to_world(det79: Array, det_valid: Array, T_wc: Array,
+                       img_w: Array, img_h: Array, no_code: bool = True) -> Array:
+    """Camera-frame 79-dim rows -> world-frame 82-dim track rows.
+
+    Reference behavior: processor.py:209-257 (_attach_to_tracks) /
+    95-131 (_init_tracks): t_wo = T_wc t_co; azi_wo = atan2(sin, cos) +
+    cam_azi; bbox stored in pixels in both the detection columns (2:6) and
+    the projected-bbox columns (78:82).
+    """
+    N = det79.shape[0]
+    cam_azi = geo.camera_azimuth(T_wc)
+    t_co = det79[:, 9:12]
+    t_wo = geo.transform_points(T_wc, t_co)
+    azi_wo = jnp.arctan2(det79[:, 12], det79[:, 13]) + cam_azi
+    norm = jnp.stack([img_w, img_h, img_w, img_h]).astype(jnp.float32)
+    bbox_px = det79[:, 2:6] * norm
+    code = jnp.full((N, 64), -1.0) if no_code else det79[:, 15:79]
+    rows = jnp.concatenate(
+        [
+            det79[:, 0:2],
+            bbox_px,
+            det79[:, 6:9],
+            t_wo,
+            azi_wo[:, None],
+            det79[:, 14:15],
+            code,
+            bbox_px,
+        ],
+        axis=-1,
+    )
+    return jnp.where(det_valid[:, None], rows, -1.0)
+
+
+def prepare_track_inputs(store: tracker.TrackStore, T_wc: Array, K: Array,
+                         img_w: Array, img_h: Array,
+                         n_samples: int = 1000) -> Array:
+    """Build the [T, W, 79] associator input from the track store.
+
+    Reference behavior (processor.py:133-207): refresh each track's projected
+    bbox by projecting the mean-state superquadric surface into the current
+    camera (plain z division, no validity filtering — reference
+    _prepare_tracks:199-203), overwrite the bbox columns of every window row
+    with it (normalized, clipped to [-1, 2]), and re-encode world state into
+    the current camera frame.
+    """
+    T_cap, W, _ = store.window.shape
+    t_mean, azi_mean, dims_mean = tracker.mean_state(store)
+
+    params = sq.SQParams(
+        translate=t_mean,
+        angle=azi_mean,
+        scales=jnp.sqrt(dims_mean / 2.0),
+        shapes=jnp.zeros((T_cap, 2), t_mean.dtype),  # ellipsoid mode
+    )
+    pts_w = sq.surface_points_world(params, n_samples)            # [T, S, 3]
+    T_cw = geo.invert_se3(T_wc)
+    pts_c = geo.transform_points(T_cw, pts_w)
+    pix = jnp.einsum("ij,tsj->tsi", K, pts_c)
+    uv = pix[..., :2] / pix[..., 2:]                               # plain division
+    box = jnp.concatenate([jnp.min(uv, axis=1), jnp.max(uv, axis=1)], axis=-1)
+    norm = jnp.stack([img_w, img_h, img_w, img_h]).astype(jnp.float32)
+    box_n = jnp.clip(box / norm, -1.0, 2.0)                        # [T, 4]
+
+    win = store.window
+    cam_azi = geo.camera_azimuth(T_wc)
+    t_wo = win[..., 9:12]
+    t_co = geo.transform_points(T_cw, t_wo.reshape(T_cap * W, 3)).reshape(T_cap, W, 3)
+    ang = win[..., 12] - cam_azi
+
+    out = jnp.concatenate(
+        [
+            win[..., 0:2],                                  # time, class
+            jnp.broadcast_to(box_n[:, None, :], (T_cap, W, 4)),
+            win[..., 6:9],                                  # dims
+            t_co,
+            jnp.sin(ang)[..., None],
+            jnp.cos(ang)[..., None],
+            win[..., 13:14],                                # score
+            win[..., 14:78],                                # code
+        ],
+        axis=-1,
+    )
+    slot_valid = (
+        (jnp.arange(W)[None, :] < store.length[:, None]) & store.active[:, None]
+    )
+    return jnp.where(slot_valid[..., None], out, -1.0)
+
+
+class OdamPipeline:
+    """Host driver around the jitted per-frame step.
+
+    Equivalent public surface to the reference OdamProcess (processor.py:15-368):
+    ``init_sequence(K, img_h, img_w)`` / ``process_frame(rgb, frame_id, T_wc)``
+    / ``optim_process(tracks)`` / ``merge_process(out)``.
+    """
+
+    def __init__(self, detr_model: detr_mod.DETR, detr_params,
+                 assoc_model: assoc_mod.Associator, assoc_params,
+                 config: PipelineConfig = PipelineConfig()):
+        self.detr_model = detr_model
+        self.detr_params = detr_params
+        self.assoc_model = assoc_model
+        self.assoc_params = assoc_params
+        self.cfg = config
+        self.sequence = None
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------ step
+    def _build_step(self):
+        cfg = self.cfg
+        detr_apply = self.detr_model.apply
+        assoc_apply = self.assoc_model.apply
+
+        @partial(jax.jit, static_argnames=())
+        def step(detr_params, assoc_params, store: tracker.TrackStore,
+                 image: Array, frame_id: Array, T_wc: Array, K: Array,
+                 img_w: Array, img_h: Array) -> FrameResult:
+            outputs = detr_apply(detr_params, image[None])
+            dets = detr_mod.postprocess(
+                outputs, img_w, img_h, jnp.asarray(cfg.detect_threshold), K,
+                max_dets=cfg.max_dets,
+            )
+            det_valid = dets.valid[0]
+            det79 = detection_rows_camera(dets, frame_id, img_w, img_h)
+            det82 = lift_rows_to_world(det79, det_valid, T_wc, img_w, img_h,
+                                       cfg.no_code)
+
+            def init_branch(store):
+                slots = tracker.assign_new_slots(store, det_valid)
+                ok = det_valid & (slots >= 0)
+                return tracker.append_rows(store, det82, slots, ok), slots, ok
+
+            def assoc_branch(store):
+                tracks79 = prepare_track_inputs(
+                    store, T_wc, K, img_w, img_h, cfg.track_bbox_samples
+                )
+                out = assoc_apply(
+                    assoc_params, tracks79[None], store.active[None],
+                    det79[None], det_valid[None],
+                    jnp.asarray(cfg.match_threshold),
+                )
+                Z = out.log_assignment[0]
+                match = out.matches[0]
+                T_cap = store.capacity
+                # Unmatched detections are gated on the dustbin row — the
+                # reference's score_mat[-1, det] new-track gate
+                # (processor.py:226-229, 252-253).
+                gate_row = jnp.where(match >= 0, match, T_cap)
+                gate = jnp.exp(Z[gate_row, jnp.arange(match.shape[0])])
+                attach_ok = det_valid & (gate >= cfg.score_threshold)
+                is_new = attach_ok & (match < 0)
+                new_slots = tracker.assign_new_slots(store, is_new)
+                slots = jnp.where(match >= 0, match, new_slots)
+                ok = attach_ok & (slots >= 0)
+                return tracker.append_rows(store, det82, slots, ok), slots, ok
+
+            store, slots, attached = jax.lax.cond(
+                store.count > 0, assoc_branch, init_branch, store
+            )
+            return FrameResult(
+                store=store,
+                det_rows=det82,
+                slots=jnp.where(attached, slots, -1),
+                attached=attached,
+                n_detections=jnp.sum(det_valid.astype(jnp.int32)),
+            )
+
+        return step
+
+    # ------------------------------------------------------------- sequence
+    def init_sequence(self, K: np.ndarray, img_h: int, img_w: int):
+        """Reset per-sequence state (processor.py:291-304)."""
+        self.sequence = {
+            "K": np.asarray(K, np.float32),
+            "img_h": float(img_h),
+            "img_w": float(img_w),
+            "store": tracker.init_store(self.cfg.max_tracks, self.cfg.window),
+            "tracks": [],            # host full history: list of [n_obs, 82]
+            "usable_frames": [],
+            "T_wcs": [],
+            "P_cws": [],
+        }
+
+    def process_frame(self, image: np.ndarray, frame_id: int,
+                      T_wc: np.ndarray) -> FrameResult:
+        """Run one frame. ``image`` is the normalized [H, W, 3] input."""
+        seq = self.sequence
+        assert seq is not None, "call init_sequence first"
+        seq["usable_frames"].append(int(frame_id))
+        T_wc = np.asarray(T_wc, np.float32)
+        seq["T_wcs"].append(T_wc)
+        seq["P_cws"].append(seq["K"][:3, :3] @ np.linalg.inv(T_wc)[:3, :])
+
+        result = self._step(
+            self.detr_params, self.assoc_params, seq["store"],
+            jnp.asarray(image), jnp.asarray(float(frame_id)),
+            jnp.asarray(T_wc), jnp.asarray(seq["K"][:3, :3]),
+            jnp.asarray(seq["img_w"]), jnp.asarray(seq["img_h"]),
+        )
+        seq["store"] = result.store
+
+        # Host history append (tiny; overlaps with the next device step).
+        slots = np.asarray(result.slots)
+        attached = np.asarray(result.attached)
+        rows = np.asarray(result.det_rows)
+        for i in np.nonzero(attached)[0]:
+            s = int(slots[i])
+            while len(seq["tracks"]) <= s:
+                seq["tracks"].append(np.zeros((0, tracker.TRACK_DIM), np.float32))
+            seq["tracks"][s] = np.concatenate(
+                [seq["tracks"][s], rows[i : i + 1]], axis=0
+            )
+        return result
+
+    @property
+    def tracks(self) -> list[np.ndarray]:
+        return [t for t in self.sequence["tracks"] if len(t) > 0]
+
+    # -------------------------------------------------------------- mapping
+    def optim_process(self, tracks: list[np.ndarray]) -> dict:
+        """Multi-view superquadric optimization over all tracks
+        (processor.py:352-368 -> run_multi_view.py:22-76, prior hardcoded
+        True there; here it follows cfg.use_prior)."""
+        seq = self.sequence
+        cfg = self.cfg
+        sc = constraints.build_scene_constraints(
+            tracks, np.asarray(seq["usable_frames"]), np.asarray(seq["P_cws"]),
+            seq["img_h"], seq["img_w"], cfg.max_objs, cfg.max_views,
+            cfg.min_views,
+        )
+        init = sq.init_params(
+            jnp.asarray(sc.init_translate), jnp.asarray(sc.init_angle),
+            jnp.asarray(sc.init_dims), cfg.representation,
+        )
+        res = optimizer.optimize_superquadrics(
+            init, jnp.asarray(sc.boxes), jnp.asarray(sc.box_mask),
+            jnp.asarray(sc.view_mask), jnp.asarray(sc.P_cw),
+            jnp.asarray(sc.optimize_mask),
+            jnp.asarray(prior.prior_invcov_for_classes(sc.obj_class)),
+            n_iters=cfg.optim_iters, n_samples=cfg.optim_samples,
+            representation=cfg.representation, use_prior=cfg.use_prior,
+        )
+        n_objs = int(sc.obj_valid.sum())
+        corners = np.asarray(res.corners)
+        corners_dl = np.asarray(res.corners_detector)
+        params = jax.tree.map(np.asarray, res.params)
+        # Reorder back to input track order (constraints sorted longest-first).
+        order = np.argsort([-len(t) for t in tracks], kind="stable")[: sc.boxes.shape[0]]
+        inv = {int(t): s for s, t in enumerate(order)}
+        out_tracks, bboxes_qc, bboxes_dl, quadrics = [], [], [], []
+        for t_idx in range(len(tracks)):
+            if t_idx not in inv or inv[t_idx] >= n_objs:
+                continue
+            s = inv[t_idx]
+            out_tracks.append(tracks[t_idx])
+            bboxes_qc.append(corners[s])
+            bboxes_dl.append(corners_dl[s])
+            quadrics.append(
+                sq.SQParams(*[np.asarray(leaf[s]) for leaf in params])
+            )
+        return {
+            "tracks": out_tracks,
+            "bboxes_qc": bboxes_qc,
+            "bboxes_dl": bboxes_dl,
+            "quadrics": quadrics,
+        }
+
+    def merge_process(self, data: dict) -> list[np.ndarray]:
+        """Fuse fragmented tracks (processor.py:347-350 -> run_merge.py)."""
+        return merge.merge_tracks(
+            data["tracks"], data["bboxes_qc"],
+            np.asarray(self.sequence["usable_frames"]),
+        )

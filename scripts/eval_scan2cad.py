@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Scan2CAD F1 evaluation CLI (reference surface: src/scripts/eval_scan2cad.py).
+
+    python scripts/eval_scan2cad.py --result_dir ./result/test \
+        --scan2cad ./data/Scan2CAD/full_annotations.json \
+        --scans_root ./data/ScanNet/scans \
+        --val_split ./data/ScanNet/scannetv2_val.txt \
+        --threshold 0.25 --min_views 10
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from odam_tpu.eval import scan2cad  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--result_dir", required=True)
+    ap.add_argument("--scan2cad", default="./data/Scan2CAD/full_annotations.json")
+    ap.add_argument("--scans_root", default="./data/ScanNet/scans")
+    ap.add_argument("--val_split", default="./data/ScanNet/scannetv2_val.txt")
+    ap.add_argument("--threshold", type=float, default=0.25)
+    ap.add_argument("--min_views", type=int, default=1)
+    args = ap.parse_args()
+
+    with open(args.val_split) as f:
+        sequences = f.read().splitlines()
+    scan2cad.evaluate(
+        args.result_dir, args.scan2cad, args.scans_root, sequences,
+        threshold=args.threshold, min_views=args.min_views,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""End-to-end pipeline CLI: detect -> associate -> map over ScanNet scenes.
+
+Public surface parity with the reference (src/scripts/run_processor.py):
+
+    python scripts/run_processor.py --config_path configs/detr_scan_net.yaml \
+        --no_code --use_prior --representation super_quadric --out_dir ./result/test
+
+Differences (deliberate fixes of reference quirks, SURVEY.md §7):
+- --detect_threshold and --no_code are actually forwarded into the pipeline
+  (the reference parsed but dropped them, run_processor.py:61-67);
+- the mapping stage honors --use_prior (the reference hardcoded prior=True,
+  processor.py:364).
+
+Output: per scene, a pickle {tracks, bboxes_qc, bboxes_dl, quadrics} with the
+reference's schema (run_processor.py:86-91).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from odam_tpu import config as config_mod  # noqa: E402
+from odam_tpu.data import scannet, transforms  # noqa: E402
+
+
+def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    from odam_tpu.models import associator as assoc_mod, detr as detr_mod, porting
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
+    dcfg = detr_mod.DETRConfig.from_cfg(cfg, dtype=dtype)
+    detr = detr_mod.DETR(dcfg)
+    acfg = assoc_mod.AssociatorConfig.from_cfg(cfg, dtype=dtype)
+    assoc = assoc_mod.Associator(acfg)
+
+    if detector_ckpt and os.path.exists(detector_ckpt):
+        dparams = porting.convert_detr(
+            porting.load_torch_checkpoint(detector_ckpt),
+            enc_layers=dcfg.enc_layers, dec_layers=dcfg.dec_layers,
+        )
+        print(f"loaded detector weights from {detector_ckpt}")
+    else:
+        print("WARNING: no detector checkpoint; using random init", file=sys.stderr)
+        dparams = detr.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+
+    if associator_ckpt and os.path.exists(associator_ckpt):
+        aparams = porting.convert_associator(
+            porting.load_torch_checkpoint(associator_ckpt),
+            d_model=acfg.descriptor_dim, n_gnn=len(acfg.gnn_layers),
+            n_fuser=len(acfg.self_gnn_layers),
+        )
+        print(f"loaded associator weights from {associator_ckpt}")
+    else:
+        print("WARNING: no associator checkpoint; using random init", file=sys.stderr)
+        aparams = assoc.init(
+            jax.random.key(1),
+            jnp.full((1, 4, 4, 79), -1.0), jnp.zeros((1, 4), bool),
+            jnp.full((1, 4, 79), -1.0), jnp.zeros((1, 4), bool),
+        )
+    return detr, dparams, assoc, aparams
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_path", default="configs/detr_scan_net.yaml")
+    ap.add_argument("--detect_threshold", default=0.6, type=float)
+    ap.add_argument("--use_prior", action="store_true")
+    ap.add_argument("--no_code", action="store_true")
+    ap.add_argument("--representation", default="super_quadric",
+                    help="[cube, super_quadric, quadric]")
+    ap.add_argument("--out_dir", default="./result/test")
+    ap.add_argument("--scans_root", default="./data/ScanNet/scans")
+    ap.add_argument("--sequences", default=None,
+                    help="file with one scene id per line (default: all scenes)")
+    ap.add_argument("--detector_ckpt", default="./experiments/detector.pth")
+    ap.add_argument("--associator_ckpt", default="./experiments/associator.pth")
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--max_frames", default=None, type=int)
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    from odam_tpu.runtime import processor as proc_mod
+
+    cfg = config_mod.merge_cfg([args.config_path])
+    detr, dparams, assoc, aparams = build_models(
+        cfg, args.detector_ckpt, args.associator_ckpt, args.dtype
+    )
+    pcfg = proc_mod.PipelineConfig(
+        detect_threshold=args.detect_threshold,
+        representation=args.representation,
+        use_prior=args.use_prior,
+        no_code=args.no_code,
+    )
+    pipe = proc_mod.OdamPipeline(detr, dparams, assoc, aparams, pcfg)
+
+    sequences = None
+    if args.sequences:
+        with open(args.sequences) as f:
+            sequences = f.read().splitlines()
+    index = scannet.SceneIndex(args.scans_root, sequences)
+
+    for seq_id in index.sequences:
+        print(f"processing: {seq_id}")
+        out_dir = os.path.join(args.out_dir, seq_id)
+        os.makedirs(out_dir, exist_ok=True)
+
+        K = scannet.read_intrinsic(index.intrinsic_path(seq_id))[:3, :3]
+        axis_align = scannet.read_axis_align(index.meta_path(seq_id))
+        frames = index.frame_names(seq_id)
+        if args.max_frames:
+            frames = frames[: args.max_frames]
+
+        first = np.asarray(Image.open(index.image_path(seq_id, frames[0])))
+        ih, iw = transforms.target_size(*first.shape[:2])
+        scale = np.array([iw / first.shape[1], ih / first.shape[0]])
+        K_scaled = K.copy()
+        K_scaled[0] *= scale[0]
+        K_scaled[1] *= scale[1]
+        pipe.init_sequence(K_scaled, ih, iw)
+
+        t0 = time.time()
+        for frame in frames:
+            T_cw = scannet.read_extrinsic(index.pose_path(seq_id, frame))
+            if np.isnan(T_cw).any():
+                continue
+            T_wc = axis_align @ np.linalg.inv(T_cw)
+            rgb = np.asarray(Image.open(index.image_path(seq_id, frame)))
+            img = transforms.preprocess_image(rgb, ih, iw)
+            pipe.process_frame(img, int(frame), T_wc)
+        fps = len(frames) / max(time.time() - t0, 1e-6)
+        print(f"  {len(frames)} frames, {fps:.1f} fps, {len(pipe.tracks)} tracks")
+
+        out = pipe.optim_process(pipe.tracks)
+        merged = pipe.merge_process(out)
+        out = pipe.optim_process(merged)
+
+        with open(os.path.join(out_dir, seq_id), "wb") as f:
+            pickle.dump(
+                {
+                    "tracks": out["tracks"],
+                    "bboxes_qc": out["bboxes_qc"],
+                    "bboxes_dl": out["bboxes_dl"],
+                    "quadrics": out["quadrics"],
+                },
+                f,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odam_tpu.models import associator as assoc_mod
+from odam_tpu.models import detr as detr_mod
+from odam_tpu.runtime import processor as proc_mod
+from odam_tpu.runtime import tracker
+
+
+def test_store_append_and_means():
+    store = tracker.init_store(max_tracks=4, window=5)
+    rows = np.full((2, 82), -1.0, np.float32)
+    rows[0, 9:12] = [1.0, 2.0, 3.0]
+    rows[0, 12] = 0.5
+    rows[0, 6:9] = [1.0, 1.0, 1.0]
+    rows[1, 9:12] = [4.0, 4.0, 4.0]
+    rows[1, 12] = -0.5
+    rows[1, 6:9] = [2.0, 2.0, 2.0]
+    slots = jnp.array([0, 1], jnp.int32)
+    valid = jnp.array([True, True])
+    store = tracker.append_rows(store, jnp.asarray(rows), slots, valid)
+    assert int(store.count) == 2
+    assert store.length.tolist()[:2] == [1, 1]
+    t, azi, dims = tracker.mean_state(store)
+    np.testing.assert_allclose(np.asarray(t[0]), [1, 2, 3], atol=1e-6)
+    np.testing.assert_allclose(float(azi[1]), -0.5, atol=1e-6)
+
+    # append to the same slot twice more -> mean updates
+    store = tracker.append_rows(store, jnp.asarray(rows), slots, valid)
+    t, azi, dims = tracker.mean_state(store)
+    assert int(store.n_obs[0]) == 2
+    np.testing.assert_allclose(np.asarray(t[0]), [1, 2, 3], atol=1e-6)
+
+
+def test_store_window_roll():
+    W = 3
+    store = tracker.init_store(max_tracks=2, window=W)
+    for k in range(5):
+        row = np.full((1, 82), -1.0, np.float32)
+        row[0, 0] = k  # frame id
+        store = tracker.append_rows(
+            store, jnp.asarray(row), jnp.array([0], jnp.int32), jnp.array([True])
+        )
+    # window holds the last 3 frames, oldest first
+    assert int(store.length[0]) == W
+    assert int(store.n_obs[0]) == 5
+    np.testing.assert_allclose(np.asarray(store.window[0, :, 0]), [2, 3, 4])
+
+
+def test_assign_new_slots_capacity():
+    store = tracker.init_store(max_tracks=3, window=4)
+    store = store._replace(count=jnp.asarray(2, jnp.int32))
+    is_new = jnp.array([True, False, True, True])
+    slots = np.asarray(tracker.assign_new_slots(store, is_new))
+    # slots 2 assigned, then capacity exhausted
+    assert slots.tolist() == [2, -1, -1, -1]
+
+
+def test_detection_row_lift_roundtrip():
+    """camera->world->camera re-encoding is consistent."""
+    from odam_tpu.utils import geometry as geo
+
+    dets = detr_mod.Detections(
+        valid=jnp.array([[True, False]]),
+        classes=jnp.array([[5, 0]], jnp.int32),
+        scores=jnp.array([[0.9, 0.0]]),
+        boxes=jnp.array([[[100.0, 50, 300, 250], [0, 0, 0, 0]]]),
+        dims=jnp.array([[[1.0, 0.8, 1.2], [0, 0, 0]]]),
+        t_co=jnp.array([[[0.2, 0.1, 2.0], [0, 0, 0]]]),
+        angle_deg=jnp.array([[30.0, 0.0]]),
+        features=jnp.zeros((1, 2, 4)),
+    )
+    det79 = proc_mod.detection_rows_camera(
+        dets, jnp.asarray(7.0), jnp.asarray(640.0), jnp.asarray(480.0)
+    )
+    assert det79.shape == (2, 79)
+    assert float(det79[0, 0]) == 7.0
+    assert float(det79[0, 1]) == 5.0
+    np.testing.assert_allclose(np.asarray(det79[1]), -1.0)  # invalid row
+
+    T_wc = np.eye(4, dtype=np.float32)
+    T_wc[:3, :3] = np.asarray(geo.rotz(jnp.asarray(0.7)))
+    T_wc[:3, 3] = [1.0, 2.0, 0.0]
+    det82 = proc_mod.lift_rows_to_world(
+        det79, dets.valid[0], jnp.asarray(T_wc), jnp.asarray(640.0), jnp.asarray(480.0)
+    )
+    assert det82.shape == (2, 82)
+    # world translation = T_wc @ t_co
+    expected = (T_wc[:3, :3] @ np.array([0.2, 0.1, 2.0]) + T_wc[:3, 3])
+    np.testing.assert_allclose(np.asarray(det82[0, 9:12]), expected, atol=1e-5)
+    # azi_wo = azi_co + cam_azi
+    cam_azi = float(geo.camera_azimuth(jnp.asarray(T_wc)))
+    np.testing.assert_allclose(
+        float(det82[0, 12]), np.deg2rad(30.0) + cam_azi, atol=1e-5
+    )
+    # bbox stored in pixels twice (cols 2:6 and 78:82)
+    np.testing.assert_allclose(np.asarray(det82[0, 2:6]), [100, 50, 300, 250], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(det82[0, 78:82]), [100, 50, 300, 250], atol=1e-3)
+
+
+def test_prepare_track_inputs_masks_padding():
+    store = tracker.init_store(max_tracks=3, window=4)
+    row = np.full((1, 82), -1.0, np.float32)
+    row[0, 0] = 3
+    row[0, 1] = 5
+    row[0, 6:9] = [1.0, 1.0, 1.0]
+    row[0, 9:12] = [0.0, 0.0, 1.0]
+    row[0, 12] = 0.2
+    row[0, 13] = 0.9
+    store = tracker.append_rows(
+        store, jnp.asarray(row), jnp.array([0], jnp.int32), jnp.array([True])
+    )
+    K = jnp.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+    T_wc = np.eye(4, dtype=np.float32)
+    T_wc[:3, 3] = [0, -3.0, 1.0]
+    T_wc[:3, :3] = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32)  # look +y
+    out = proc_mod.prepare_track_inputs(
+        store, jnp.asarray(T_wc), K, jnp.asarray(640.0), jnp.asarray(480.0),
+        n_samples=128,
+    )
+    assert out.shape == (3, 4, 79)
+    o = np.asarray(out)
+    # slot 0, step 0 is real: time/class preserved
+    assert o[0, 0, 0] == 3.0 and o[0, 0, 1] == 5.0
+    # bbox columns are normalized and clipped
+    assert (o[0, 0, 2:6] >= -1).all() and (o[0, 0, 2:6] <= 2).all()
+    # everything else is -1 padding
+    np.testing.assert_allclose(o[0, 1:], -1.0)
+    np.testing.assert_allclose(o[1:], -1.0)
+
+
+def _tiny_pipeline():
+    dcfg = detr_mod.DETRConfig(
+        num_classes=8, num_queries=8, hidden_dim=32, nheads=4,
+        enc_layers=1, dec_layers=1, dim_feedforward=32, aux_loss=False,
+    )
+    detr = detr_mod.DETR(dcfg)
+    img = jnp.zeros((1, 64, 64, 3))
+    dparams = detr.init(jax.random.key(0), img)
+    acfg = assoc_mod.AssociatorConfig(
+        descriptor_dim=32, keypoint_encoder=(78, 32, 32),
+        gnn_layers=("self", "cross"), self_gnn_layers=("self",),
+        sinkhorn_iterations=20,
+    )
+    assoc = assoc_mod.Associator(acfg)
+    T, W, N = 8, 6, 5
+    aparams = assoc.init(
+        jax.random.key(1),
+        jnp.full((1, T, W, 79), -1.0), jnp.zeros((1, T), bool),
+        jnp.full((1, N, 79), -1.0), jnp.zeros((1, N), bool),
+    )
+    cfg = proc_mod.PipelineConfig(
+        detect_threshold=0.0, score_threshold=0.0, max_tracks=T, max_dets=N,
+        window=W, track_bbox_samples=64, optim_iters=5, optim_samples=64,
+        min_views=1, max_objs=T, max_views=16,
+    )
+    return proc_mod.OdamPipeline(detr, dparams, assoc, aparams, cfg)
+
+
+def test_pipeline_end_to_end_synthetic():
+    pipe = _tiny_pipeline()
+    K = np.array([[100.0, 0, 32], [0, 100, 32], [0, 0, 1]], np.float32)
+    pipe.init_sequence(K, 64, 64)
+    rng = np.random.default_rng(0)
+    import time
+
+    times = []
+    for f in range(4):
+        img = rng.normal(size=(64, 64, 3)).astype(np.float32)
+        T_wc = np.eye(4, dtype=np.float32)
+        T_wc[:3, 3] = [0.1 * f, 0, 0]
+        t0 = time.time()
+        res = pipe.process_frame(img, f, T_wc)
+        jax.block_until_ready(res.store.window)
+        times.append(time.time() - t0)
+    # with detect_threshold 0 and random weights, something was detected
+    assert int(res.n_detections) > 0
+    assert len(pipe.tracks) > 0
+    # jit caching: later frames should be far faster than frame 0 (compile)
+    assert times[-1] < times[0] / 2, times
+
+    # mapping + merge run on whatever tracks were produced
+    out = pipe.optim_process(pipe.tracks)
+    assert len(out["bboxes_qc"]) == len(out["tracks"]) > 0
+    assert np.isfinite(np.asarray(out["bboxes_qc"])).all()
+    merged = pipe.merge_process(out)
+    assert len(merged) >= 1
+    out2 = pipe.optim_process(merged)
+    assert len(out2["bboxes_qc"]) == len(merged)
