@@ -63,7 +63,7 @@ def main() -> None:
     )
     pipe.init_sequence(K, img_h, img_w)
     rng = np.random.default_rng(0)
-    frames = rng.normal(size=(4, img_h, img_w, 3)).astype(np.float32)
+    frames = rng.integers(0, 256, size=(4, img_h, img_w, 3), dtype=np.uint8)
 
     def pose(f):
         T = np.eye(4, dtype=np.float32)

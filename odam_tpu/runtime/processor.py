@@ -49,15 +49,15 @@ class PipelineConfig:
     min_views: int = 10
     max_objs: int = 64       # mapping-stage object capacity
     max_views: int = 256     # mapping-stage views per object
+    max_log_frames: int = 6000  # device observation-log capacity per scene
 
 
 class FrameResult(NamedTuple):
-    """Per-frame device outputs handed back to the host history."""
+    """Per-frame device outputs (all stay on device; the host drains the
+    observation log once per sequence)."""
 
     store: tracker.TrackStore
-    det_rows: Array      # [N, 82] world-frame rows of this frame's detections
-    slots: Array         # [N] target track slot, -1 = dropped
-    attached: Array      # [N] bool
+    log: tracker.FrameLog
     n_detections: Array  # [] int32
 
 
@@ -203,10 +203,16 @@ class OdamPipeline:
         detr_apply = self.detr_model.apply
         assoc_apply = self.assoc_model.apply
 
-        @partial(jax.jit, static_argnames=())
+        @partial(jax.jit, donate_argnames=("store", "log"))
         def step(detr_params, assoc_params, store: tracker.TrackStore,
-                 image: Array, frame_id: Array, T_wc: Array, K: Array,
-                 img_w: Array, img_h: Array) -> FrameResult:
+                 log: tracker.FrameLog, image: Array, frame_id: Array,
+                 T_wc: Array, K: Array, img_w: Array, img_h: Array) -> FrameResult:
+            if image.dtype == jnp.uint8:
+                # On-device ImageNet normalization: ships 3x fewer bytes per
+                # frame over the host link than pre-normalized float32.
+                mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+                std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+                image = (image.astype(jnp.float32) / 255.0 - mean) / std
             outputs = detr_apply(detr_params, image[None])
             dets = detr_mod.postprocess(
                 outputs, img_w, img_h, jnp.asarray(cfg.detect_threshold), K,
@@ -249,11 +255,10 @@ class OdamPipeline:
             store, slots, attached = jax.lax.cond(
                 store.count > 0, assoc_branch, init_branch, store
             )
+            log = tracker.log_frame(log, det82, slots, attached)
             return FrameResult(
                 store=store,
-                det_rows=det82,
-                slots=jnp.where(attached, slots, -1),
-                attached=attached,
+                log=log,
                 n_detections=jnp.sum(det_valid.astype(jnp.int32)),
             )
 
@@ -261,52 +266,56 @@ class OdamPipeline:
 
     # ------------------------------------------------------------- sequence
     def init_sequence(self, K: np.ndarray, img_h: int, img_w: int):
-        """Reset per-sequence state (processor.py:291-304)."""
+        """Reset per-sequence state (processor.py:291-304).  Per-sequence
+        constants are placed on device once; per-frame host traffic is one
+        image + one small pose/meta array, nothing comes back until the
+        sequence ends."""
         self.sequence = {
             "K": np.asarray(K, np.float32),
+            "K_dev": jnp.asarray(np.asarray(K, np.float32)[:3, :3]),
             "img_h": float(img_h),
             "img_w": float(img_w),
+            "w_dev": jnp.asarray(float(img_w)),
+            "h_dev": jnp.asarray(float(img_h)),
             "store": tracker.init_store(self.cfg.max_tracks, self.cfg.window),
-            "tracks": [],            # host full history: list of [n_obs, 82]
+            "log": tracker.init_log(self.cfg.max_log_frames, self.cfg.max_dets),
             "usable_frames": [],
             "T_wcs": [],
             "P_cws": [],
+            "tracks_cache": None,
         }
 
     def process_frame(self, image: np.ndarray, frame_id: int,
                       T_wc: np.ndarray) -> FrameResult:
-        """Run one frame. ``image`` is the normalized [H, W, 3] input."""
+        """Run one frame. ``image`` is [H, W, 3] — uint8 (normalized on
+        device) or already-normalized float32.  Fully asynchronous: no
+        device->host synchronization happens here."""
         seq = self.sequence
         assert seq is not None, "call init_sequence first"
         seq["usable_frames"].append(int(frame_id))
         T_wc = np.asarray(T_wc, np.float32)
         seq["T_wcs"].append(T_wc)
         seq["P_cws"].append(seq["K"][:3, :3] @ np.linalg.inv(T_wc)[:3, :])
+        seq["tracks_cache"] = None
 
         result = self._step(
-            self.detr_params, self.assoc_params, seq["store"],
+            self.detr_params, self.assoc_params, seq["store"], seq["log"],
             jnp.asarray(image), jnp.asarray(float(frame_id)),
-            jnp.asarray(T_wc), jnp.asarray(seq["K"][:3, :3]),
-            jnp.asarray(seq["img_w"]), jnp.asarray(seq["img_h"]),
+            jnp.asarray(T_wc), seq["K_dev"], seq["w_dev"], seq["h_dev"],
         )
         seq["store"] = result.store
-
-        # Host history append (tiny; overlaps with the next device step).
-        slots = np.asarray(result.slots)
-        attached = np.asarray(result.attached)
-        rows = np.asarray(result.det_rows)
-        for i in np.nonzero(attached)[0]:
-            s = int(slots[i])
-            while len(seq["tracks"]) <= s:
-                seq["tracks"].append(np.zeros((0, tracker.TRACK_DIM), np.float32))
-            seq["tracks"][s] = np.concatenate(
-                [seq["tracks"][s], rows[i : i + 1]], axis=0
-            )
+        seq["log"] = result.log
         return result
 
     @property
     def tracks(self) -> list[np.ndarray]:
-        return [t for t in self.sequence["tracks"] if len(t) > 0]
+        """Full per-track observation history (drains the device log once)."""
+        seq = self.sequence
+        if seq["tracks_cache"] is None:
+            seq["tracks_cache"] = [
+                t for t in tracker.drain_log(seq["log"]) if len(t) > 0
+            ]
+        return seq["tracks_cache"]
 
     # -------------------------------------------------------------- mapping
     def optim_process(self, tracks: list[np.ndarray]) -> dict:

@@ -120,6 +120,62 @@ def append_rows(store: TrackStore, rows: Array, slots: Array, valid: Array) -> T
     return store._replace(count=new_count)
 
 
+class FrameLog(NamedTuple):
+    """Device-resident append-only observation log.
+
+    The mapping/merge stages need every observation ever made, not just the
+    associator window.  Rather than pulling per-frame results to the host
+    (a blocking device->host round trip per frame — the dominant cost on a
+    tunneled TPU), the step appends each frame's attached rows here and the
+    host drains the log once per sequence.
+    """
+
+    rows: Array   # [F_cap, N, 82] world-frame rows of attached detections
+    slots: Array  # [F_cap, N] int32 track slot per row, -1 = not attached
+    count: Array  # [] int32 frames logged
+
+    @property
+    def capacity(self) -> int:
+        return self.rows.shape[0]
+
+
+def init_log(max_frames: int, max_dets: int, dtype=jnp.float32) -> FrameLog:
+    return FrameLog(
+        rows=jnp.zeros((max_frames, max_dets, TRACK_DIM), dtype),
+        slots=jnp.full((max_frames, max_dets), -1, jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def log_frame(log: FrameLog, rows: Array, slots: Array, attached: Array) -> FrameLog:
+    """Append one frame's attach results (saturates at capacity)."""
+    idx = jnp.minimum(log.count, log.capacity - 1)
+    slot_entry = jnp.where(attached, slots, -1).astype(jnp.int32)
+    return FrameLog(
+        rows=jax.lax.dynamic_update_slice(log.rows, rows[None], (idx, 0, 0)),
+        slots=jax.lax.dynamic_update_slice(log.slots, slot_entry[None], (idx, 0)),
+        count=jnp.minimum(log.count + 1, log.capacity),
+    )
+
+
+def drain_log(log: FrameLog) -> list:
+    """One host pull: rebuild the per-track observation history.
+
+    Returns a list of [n_obs, 82] arrays indexed by track slot (empty slots
+    dropped by the caller)."""
+    import numpy as np
+
+    n = int(log.count)
+    rows = np.asarray(log.rows[:n])
+    slots = np.asarray(log.slots[:n])
+    max_slot = int(slots.max()) if n else -1
+    tracks = [[] for _ in range(max_slot + 1)]
+    for f in range(n):
+        for i in np.nonzero(slots[f] >= 0)[0]:
+            tracks[slots[f, i]].append(rows[f, i])
+    return [np.stack(t) if t else np.zeros((0, TRACK_DIM), np.float32) for t in tracks]
+
+
 def assign_new_slots(store: TrackStore, is_new: Array) -> Array:
     """Slot indices for newly spawned tracks: [N] bool -> [N] int32 (-1 if
     capacity exhausted).  New tracks fill slots count, count+1, ... in

@@ -1,0 +1,197 @@
+"""Tests for auxiliary components: quadric algebra, heuristic tracker,
+visualization export, offline association eval, pallas attention parity."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odam_tpu.mapping import quadric, quadric_algebra as qa, superquadric as sq
+from odam_tpu.runtime.heuristic_tracker import HeuristicTracker, detect_keypoints
+from odam_tpu.utils import geometry as geo, visualization as viz
+
+
+def test_quadric_vector_roundtrip(rng):
+    Q = rng.normal(size=(4, 4))
+    Q = (Q + Q.T) / 2
+    np.testing.assert_allclose(qa.vector_to_quadric(qa.quadric_to_vector(Q)), Q)
+
+
+def test_plane_constraint_vector_consistency(rng):
+    """row . vec(Q) must equal pi^T Q pi for symmetric Q."""
+    Q = rng.normal(size=(4, 4))
+    Q = (Q + Q.T) / 2
+    p = rng.normal(size=4)
+    lhs = qa.plane_constraint_vector(p) @ qa.quadric_to_vector(Q)
+    np.testing.assert_allclose(lhs, p @ Q @ p, rtol=1e-9)
+
+
+def test_quadric_from_planes_svd_recovers_sphere():
+    """Tangent planes of a unit sphere at origin -> recovered dual quadric
+    proportional to diag(1, 1, 1, -1)."""
+    planes = []
+    rng = np.random.default_rng(0)
+    for _ in range(24):
+        n = rng.normal(size=3)
+        n /= np.linalg.norm(n)
+        planes.append(np.array([n[0], n[1], n[2], -1.0]))  # tangent to unit sphere
+    Q = qa.quadric_from_planes_svd(planes)
+    Q = Q / -Q[3, 3]
+    np.testing.assert_allclose(Q, np.diag([1.0, 1, 1, -1]), atol=1e-6)
+
+
+def test_aabb_face_planes():
+    corners = np.asarray(
+        geo.box3d_corners(jnp.array([2.0, 2.0, 2.0]), jnp.asarray(0.0), jnp.zeros(3))
+    )
+    planes = qa.aabb_face_planes(corners)
+    assert len(planes) == 6
+    # every corner lies on exactly 3 planes
+    for c in corners:
+        on = sum(abs(p[:3] @ c + p[3]) < 1e-6 for p in planes)
+        assert on == 3
+
+
+def test_depth_bound_planes():
+    pts = np.array([[0, 0, 2.0], [0, 0, 4.0], [1, 1, 3.0]])
+    T_wc = np.eye(4)
+    lo, hi = qa.depth_bound_planes(pts, T_wc)
+    # points at min depth satisfy the min plane equation
+    np.testing.assert_allclose(lo[:3] @ pts[0] + lo[3], 0.0, atol=1e-9)
+    np.testing.assert_allclose(hi[:3] @ pts[1] + hi[3], 0.0, atol=1e-9)
+
+
+# ------------------------------------------------------------------ tracker
+
+def _det(cls, box, t_co, score=0.9, dims=(1.0, 1.0, 1.0)):
+    return {"cls": cls, "box": np.asarray(box, float), "dims": np.asarray(dims),
+            "t_co": np.asarray(t_co, float), "score": score}
+
+
+def test_heuristic_tracker_continuity():
+    tr = HeuristicTracker()
+    T_wc = np.eye(4)
+    for f in range(5):
+        tr.step([_det(3, [100 + 2 * f, 100, 200 + 2 * f, 200], [0.05 * f, 0, 2])], f, T_wc)
+    tracks = tr.export_tracks()
+    assert len(tracks) == 1
+    assert len(tracks[0]) == 5
+
+
+def test_heuristic_tracker_class_gate_and_new_tracks():
+    tr = HeuristicTracker()
+    T_wc = np.eye(4)
+    tr.step([_det(3, [100, 100, 200, 200], [0, 0, 2])], 0, T_wc)
+    # same box, different class -> new track
+    tr.step([_det(4, [100, 100, 200, 200], [0, 0, 2])], 1, T_wc)
+    assert len(tr.export_tracks()) == 2
+
+
+def test_heuristic_tracker_3d_fallback_after_gap():
+    tr = HeuristicTracker(max_gap=5)
+    T_wc = np.eye(4)
+    tr.step([_det(3, [100, 100, 200, 200], [0, 0, 2])], 0, T_wc)
+    tr.step([], 7, T_wc)  # gap: track goes stale
+    assert 0 in tr.inactive
+    # 8 frames later, different 2D box but same 3D position -> 3D IoU match
+    tr.step([_det(3, [400, 300, 500, 400], [0.05, 0, 2])], 8, T_wc)
+    tracks = tr.export_tracks()
+    assert len(tracks) == 1 and len(tracks[0]) == 2
+
+
+def test_heuristic_tracker_depth_points():
+    tr = HeuristicTracker()
+    T_wc = np.eye(4)
+    img = np.zeros((120, 160, 3), np.uint8)
+    depth = np.full((60, 80), 2.0, np.float32)
+    K_d = np.array([[50.0, 0, 40], [0, 50, 30], [0, 0, 1]])
+    tr.step([_det(3, [40, 30, 120, 90], [0, 0, 2])], 0, T_wc, img, depth, K_d)
+    assert tr.tracks[0].points is not None and len(tr.tracks[0].points) > 0
+    # second frame: point containment match keeps the track
+    tr.step([_det(3, [42, 32, 122, 92], [0, 0, 2])], 1, T_wc, img, depth, K_d)
+    assert len(tr.export_tracks()) == 1
+    assert len(tr.tracks[0].rows) == 2
+
+
+def test_detect_keypoints_grid_fallback():
+    img = np.zeros((64, 64, 3), np.uint8)
+    kps = detect_keypoints(img)
+    assert len(kps) > 0 and kps.shape[1] == 2
+
+
+# ------------------------------------------------------------------- viz
+
+def test_sq_mesh_export(tmp_path):
+    params = sq.SQParams(
+        translate=np.array([1.0, 0.0, 0.5], np.float32),
+        angle=np.asarray(0.3, np.float32),
+        scales=np.array([0.7, 0.7, 0.9], np.float32),
+        shapes=np.zeros(2, np.float32),
+    )
+    v, f = viz.sq_surface_mesh(params, grid=12)
+    assert v.shape[1] == 3 and f.shape[1] == 3
+    assert f.max() < len(v)
+    path = str(tmp_path / "scene.obj")
+    viz.export_scene_obj(path, [params, params], grid=8)
+    text = open(path).read()
+    assert text.count("v ") > 0 and text.count("f ") > 0
+
+
+def test_detection_snapshot(tmp_path):
+    pytest.importorskip("matplotlib")
+    path = str(tmp_path / "snap.png")
+    viz.save_detection_snapshot(
+        path, np.zeros((64, 64, 3), np.uint8),
+        np.array([[5, 5, 30, 30]]), labels=["chair"], scores=[0.9],
+    )
+    assert os.path.getsize(path) > 0
+
+
+# ------------------------------------------------------- association eval
+
+def test_association_eval_perfect_matcher():
+    """A mock 'model' that returns identity matches scores P/R/F1 = 1."""
+    from odam_tpu.eval import association
+
+    class FakeOut:
+        def __init__(self, matches):
+            self.matches = matches
+
+    class FakeModel:
+        def apply(self, params, tracks, tm, dets, dm, thr):
+            # identity: detection d matches track d (test tracks are aligned)
+            n = dets.shape[1]
+            pred = np.where(np.asarray(dm[0]), np.arange(n), -1)
+            return FakeOut(matches=pred[None])
+
+    tracks = []
+    for t in range(3):
+        rows = np.full((6, 82), -1.0, np.float32)
+        rows[:, 0] = np.arange(6)
+        rows[:, 1] = t
+        tracks.append(rows)
+    m = association.evaluate_scene(FakeModel(), None, tracks, max_tracks=8, max_dets=4)
+    assert m.n_frames == 5
+    assert m.precision == 1.0 and m.recall == 1.0 and m.f1 == 1.0
+
+
+# -------------------------------------------------------- pallas attention
+
+def test_pallas_attention_matches_reference():
+    from odam_tpu.ops import pallas_attention
+    from odam_tpu.ops.attention import mha_core
+
+    rng = np.random.default_rng(0)
+    B, Lq, Lk, H, dh = 2, 16, 24, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, Lq, H * dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Lk, H * dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Lk, H * dh)).astype(np.float32))
+    kpm = np.zeros((B, Lk), bool)
+    kpm[:, -5:] = True
+    ref = mha_core(q, k, v, H, jnp.asarray(kpm))
+    out = pallas_attention.fused_attention(
+        q.reshape(B, Lq, H, dh), k.reshape(B, Lk, H, dh), v.reshape(B, Lk, H, dh),
+        jnp.asarray(kpm), interpret=True,
+    ).reshape(B, Lq, H * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
