@@ -66,3 +66,83 @@ def inference_transform(img: np.ndarray, short_side: int = 800,
     h, w = img.shape[:2]
     nh, nw = target_size(h, w, short_side, max_size)
     return preprocess_image(img, nh, nw)
+
+
+# ---------------------------------------------------------------------------
+# Training augmentation (reference: transforms.py:15-139, 281-290)
+# ---------------------------------------------------------------------------
+
+TRAIN_SCALES = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+
+
+def hflip_with_targets(img: np.ndarray, objects: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Horizontal flip; box centers and x-offsets mirror (boxes normalized).
+
+    Object row layout as in datasets.py: [class, cx, cy, w, h, dims(3),
+    off_x, off_y, ..., depth, angle].  The azimuth flips sign (a mirrored
+    scene reverses the rotation sense).
+    """
+    out = np.ascontiguousarray(img[:, ::-1])
+    objects = objects.copy()
+    objects[:, 1] = 1.0 - objects[:, 1]
+    objects[:, 8] = -objects[:, 8]
+    objects[:, -1] = -objects[:, -1]
+    return out, objects
+
+
+def random_resize_train(img: np.ndarray, objects: np.ndarray,
+                        rng: np.random.Generator,
+                        scales=TRAIN_SCALES, max_size: int = 1333,
+                        pad_multiple: int = 32
+                        ) -> tuple[np.ndarray, np.ndarray, tuple[int, int]]:
+    """Multi-scale resize (DETR-style).  Boxes/offsets are normalized so they
+    are scale-invariant; depth and 3D dims are metric and unchanged.
+
+    Returns the resized normalized image, objects, and the padded canvas
+    size — images are placed top-left on a fixed canvas so a whole epoch
+    compiles one program per canvas size.
+    """
+    short = int(rng.choice(scales))
+    h, w = img.shape[:2]
+    nh, nw = target_size(h, w, short, max_size)
+    resized = preprocess_image(img, nh, nw)
+    ch = -(-max(s for s in scales) // pad_multiple) * pad_multiple
+    cw = -(-max_size // pad_multiple) * pad_multiple
+    return resized, objects, (min(nh, ch), min(nw, cw))
+
+
+def pad_to_canvas(img: np.ndarray, canvas_h: int, canvas_w: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Top-left placement on a fixed canvas -> (padded image, pixel mask).
+
+    The mask (True = padded) is the NestedTensor equivalent
+    (reference misc.py:288-343) consumed by the DETR position encoding.
+    """
+    h, w = img.shape[:2]
+    out = np.zeros((canvas_h, canvas_w, img.shape[2]), img.dtype)
+    out[:h, :w] = img
+    mask = np.ones((canvas_h, canvas_w), bool)
+    mask[:h, :w] = False
+    return out, mask
+
+
+def train_transform(img: np.ndarray, objects: np.ndarray,
+                    rng: np.random.Generator,
+                    canvas: tuple[int, int] = (800, 1344),
+                    flip_prob: float = 0.5
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full train-time augmentation: random flip + multi-scale resize + pad.
+
+    Boxes/offsets must already be normalized (datasets.DetectorDataset does
+    this).  NOTE: normalized coordinates refer to the *unpadded* region; the
+    pixel mask carries the padding information, matching the reference's
+    NestedTensor semantics.
+
+    Returns (image [Hc, Wc, 3], mask [Hc, Wc], objects).
+    """
+    if rng.uniform() < flip_prob:
+        img, objects = hflip_with_targets(img, objects)
+    resized, objects, _ = random_resize_train(img, objects, rng)
+    padded, mask = pad_to_canvas(resized, canvas[0], canvas[1])
+    return padded, mask, objects

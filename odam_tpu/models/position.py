@@ -83,7 +83,7 @@ def timestep_encoding(position: Array, d_model: int = 256) -> Array:
     even channels sin, odd channels cos of position / 10000^(2i/d).
     """
     half = d_model // 2
-    div = jnp.exp(jnp.arange(half) * (-jnp.log(10000.0) / d_model))
+    div = jnp.exp(2.0 * jnp.arange(half) * (-jnp.log(10000.0) / d_model))
     arg = position[..., None] * div
     pe = jnp.stack([jnp.sin(arg), jnp.cos(arg)], axis=-1)
     return pe.reshape(pe.shape[:-2] + (d_model,))

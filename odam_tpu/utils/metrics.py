@@ -110,6 +110,20 @@ class StageTimer:
         }
 
 
+def topk_accuracy(logits, targets, ks=(1,)) -> list[float]:
+    """Top-k classification accuracy in percent (misc.py:415-431)."""
+    import numpy as np
+
+    logits = np.asarray(logits)
+    targets = np.asarray(targets).reshape(-1)
+    order = np.argsort(-logits.reshape(len(targets), -1), axis=-1)
+    out = []
+    for k in ks:
+        hit = (order[:, :k] == targets[:, None]).any(axis=1)
+        out.append(float(hit.mean() * 100.0))
+    return out
+
+
 @contextlib.contextmanager
 def profiler_trace(log_dir: str | None):
     """jax.profiler trace scope (no-op when log_dir is None)."""

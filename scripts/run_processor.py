@@ -86,6 +86,13 @@ def main():
     ap.add_argument("--associator_ckpt", default="./experiments/associator.pth")
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--max_frames", default=None, type=int)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip scenes whose output already exists (per-scene "
+                         "outputs make crashed runs resumable, SURVEY.md §5)")
+    ap.add_argument("--offline", action="store_true",
+                    help="batched-ahead detection + streamed association "
+                         "instead of the frame-sequential online step")
+    ap.add_argument("--detect_batch", type=int, default=8)
     args = ap.parse_args()
 
     from PIL import Image
@@ -111,8 +118,12 @@ def main():
     index = scannet.SceneIndex(args.scans_root, sequences)
 
     for seq_id in index.sequences:
-        print(f"processing: {seq_id}")
         out_dir = os.path.join(args.out_dir, seq_id)
+        out_path = os.path.join(out_dir, seq_id)
+        if args.resume and os.path.exists(out_path):
+            print(f"skipping (resume): {seq_id}")
+            continue
+        print(f"processing: {seq_id}")
         os.makedirs(out_dir, exist_ok=True)
 
         K = scannet.read_intrinsic(index.intrinsic_path(seq_id))[:3, :3]
@@ -129,21 +140,39 @@ def main():
         K_scaled[1] *= scale[1]
         pipe.init_sequence(K_scaled, ih, iw)
 
-        t0 = time.time()
+        # Load frames (host IO) and usable poses.
+        images, fids, poses = [], [], []
         for frame in frames:
             T_cw = scannet.read_extrinsic(index.pose_path(seq_id, frame))
             if np.isnan(T_cw).any():
                 continue
             T_wc = axis_align @ np.linalg.inv(T_cw)
             rgb = np.asarray(Image.open(index.image_path(seq_id, frame)))
-            img = transforms.preprocess_image(rgb, ih, iw)
-            pipe.process_frame(img, int(frame), T_wc)
-        fps = len(frames) / max(time.time() - t0, 1e-6)
-        print(f"  {len(frames)} frames, {fps:.1f} fps, {len(pipe.tracks)} tracks")
+            images.append(transforms.preprocess_image(rgb, ih, iw))
+            fids.append(int(frame))
+            poses.append(T_wc)
 
-        out = pipe.optim_process(pipe.tracks)
-        merged = pipe.merge_process(out)
-        out = pipe.optim_process(merged)
+        t0 = time.time()
+        if args.offline:
+            from odam_tpu.runtime import offline as offline_mod
+
+            detector = offline_mod.BatchedDetector(
+                detr, dparams, pcfg, batch_size=args.detect_batch
+            )
+            cached = offline_mod.CachedDetectionPipeline(assoc, aparams, pcfg)
+            out = offline_mod.run_scene_offline(
+                detector, cached, images, fids, poses, K_scaled, ih, iw
+            )
+            n_tracks = len(out["tracks"])
+        else:
+            for img, fid, T_wc in zip(images, fids, poses):
+                pipe.process_frame(img, fid, T_wc)
+            n_tracks = len(pipe.tracks)
+            out = pipe.optim_process(pipe.tracks)
+            merged = pipe.merge_process(out)
+            out = pipe.optim_process(merged)
+        fps = len(fids) / max(time.time() - t0, 1e-6)
+        print(f"  {len(fids)} frames, {fps:.1f} fps, {n_tracks} tracks")
 
         with open(os.path.join(out_dir, seq_id), "wb") as f:
             pickle.dump(

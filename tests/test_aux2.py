@@ -1,0 +1,123 @@
+"""Tests for PLY IO, train transforms, file utils, distributed helpers,
+checkpointing round trip, and the run snapshot."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from odam_tpu.data import scannet, transforms
+from odam_tpu.parallel import distributed
+from odam_tpu.utils import checkpoint, files
+
+
+def _write_ascii_ply(path, verts):
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"end_header\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n".encode())
+
+
+def _write_binary_ply(path, verts, colors):
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(verts)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(b"end_header\n")
+        for v, c in zip(verts, colors):
+            f.write(struct.pack("<fffBBB", *v, *c))
+
+
+def test_ply_ascii(tmp_path, rng):
+    verts = rng.normal(size=(10, 3)).astype(np.float32)
+    p = str(tmp_path / "m.ply")
+    _write_ascii_ply(p, verts)
+    out = scannet.read_ply_vertices(p)
+    np.testing.assert_allclose(out, verts, atol=1e-4)
+
+
+def test_ply_binary_with_rgb(tmp_path, rng):
+    verts = rng.normal(size=(7, 3)).astype(np.float32)
+    colors = rng.integers(0, 255, (7, 3)).astype(np.uint8)
+    p = str(tmp_path / "m.ply")
+    _write_binary_ply(p, verts, colors)
+    out = scannet.read_ply_vertices(p, with_rgb=True)
+    assert out.shape == (7, 6)
+    np.testing.assert_allclose(out[:, :3], verts, atol=1e-5)
+    np.testing.assert_allclose(out[:, 3:], colors, atol=0)
+
+
+def test_segmentation_readers(tmp_path):
+    import json
+
+    seg = tmp_path / "seg.json"
+    seg.write_text(json.dumps({"segIndices": [0, 0, 1, 2, 2, 2]}))
+    agg = tmp_path / "agg.json"
+    agg.write_text(json.dumps({
+        "segGroups": [
+            {"objectId": 0, "label": "chair", "segments": [0, 1]},
+            {"objectId": 1, "label": "table", "segments": [2]},
+        ]
+    }))
+    inst = scannet.read_instance_vertices(str(seg), str(agg))
+    np.testing.assert_array_equal(inst, [1, 1, 1, 2, 2, 2])
+
+
+def test_hflip_with_targets():
+    img = np.zeros((4, 6, 3), np.float32)
+    img[:, 0] = 1.0
+    objects = np.zeros((1, 12), np.float32)
+    objects[0, 1] = 0.2   # cx
+    objects[0, 8] = 0.1   # off_x
+    objects[0, -1] = 0.5  # angle
+    out, obj = transforms.hflip_with_targets(img, objects)
+    assert out[0, -1, 0] == 1.0  # column moved to the right edge
+    np.testing.assert_allclose(obj[0, 1], 0.8)
+    np.testing.assert_allclose(obj[0, 8], -0.1)
+    np.testing.assert_allclose(obj[0, -1], -0.5)
+
+
+def test_train_transform_canvas(rng):
+    img = rng.integers(0, 255, (100, 150, 3)).astype(np.uint8)
+    objects = np.zeros((2, 12), np.float32)
+    objects[:, 1:5] = 0.5
+    padded, mask, obj = transforms.train_transform(img, objects, rng, canvas=(800, 1344))
+    assert padded.shape == (800, 1344, 3)
+    assert mask.shape == (800, 1344)
+    assert not mask[0, 0] and mask[-1, -1]  # top-left valid, bottom-right padded
+
+
+def test_file_utils(tmp_path):
+    assert files.get_file_name("/a/b/c.txt") == "c"
+    assert len(files.get_date_time()) == 19
+    sha = files.get_git_sha("/root/repo")
+    assert sha == "unknown" or len(sha) >= 40
+    files.snapshot_run(str(tmp_path), cfg={"lr": 0.1})
+    assert (tmp_path / "run_info.txt").exists()
+    assert (tmp_path / "config_snapshot.yaml").exists()
+
+
+def test_distributed_single_process():
+    assert distributed.process_count() == 1
+    assert distributed.is_main_process()
+    g = distributed.all_gather_arrays(np.array([1.0, 2.0]))
+    assert g.shape == (1, 2)
+    red = distributed.reduce_scalars({"loss": 2.0})
+    assert red["loss"] == 2.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    tree = {"a": jnp.arange(6).reshape(2, 3).astype(jnp.float32),
+            "nested": {"b": jnp.ones((4,))}}
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, tree)
+    like = {"a": jnp.zeros((2, 3)), "nested": {"b": jnp.zeros((4,))}}
+    restored = checkpoint.restore(path, like)
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.asarray(tree["a"]))
+    np.testing.assert_allclose(np.asarray(restored["nested"]["b"]), 1.0)

@@ -121,6 +121,21 @@ def test_conv1d_stack_matches_channel_mlp():
     np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), ref, atol=2e-5)
 
 
+def test_timestep_encoding_matches_reference_formula():
+    """Reference PE (associator.py:315-327): even ch sin(pos*w_i), odd ch
+    cos(pos*w_i) with w_i = exp(2i * -ln(1e4)/d)."""
+    from odam_tpu.models import position
+
+    d = 16
+    pos = np.array([0.0, 3.0, 41.0])
+    div = np.exp(np.arange(0, d, 2) * (-np.log(10000.0) / d))
+    expected = np.zeros((3, d))
+    expected[:, 0::2] = np.sin(pos[:, None] * div)
+    expected[:, 1::2] = np.cos(pos[:, None] * div)
+    out = np.asarray(position.timestep_encoding(jnp.asarray(pos), d_model=d))
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
 def test_frozen_bn_matches_torch_eval_bn():
     tbn = torch.nn.BatchNorm2d(6).eval()
     with torch.no_grad():
