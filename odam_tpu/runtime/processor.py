@@ -372,3 +372,40 @@ class OdamPipeline:
             data["tracks"], data["bboxes_qc"],
             np.asarray(self.sequence["usable_frames"]),
         )
+
+    # ---------------------------------------------------------- checkpoints
+    def save_sequence_state(self, path: str) -> None:
+        """Checkpoint mid-scene pipeline state (track store + observation log
+        + host metadata) so a crashed run resumes mid-sequence — a capability
+        the reference lacks (SURVEY.md §5: "pipeline state is never
+        checkpointed mid-scene")."""
+        import pickle
+
+        seq = self.sequence
+        state = {
+            "K": seq["K"],
+            "img_h": seq["img_h"],
+            "img_w": seq["img_w"],
+            "store": jax.tree.map(np.asarray, seq["store"]),
+            "log": jax.tree.map(np.asarray, seq["log"]),
+            "usable_frames": seq["usable_frames"],
+            "T_wcs": seq["T_wcs"],
+            "P_cws": seq["P_cws"],
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def restore_sequence_state(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.init_sequence(state["K"], state["img_h"], state["img_w"])
+        seq = self.sequence
+        seq["store"] = tracker.TrackStore(
+            *[jnp.asarray(x) for x in state["store"]]
+        )
+        seq["log"] = tracker.FrameLog(*[jnp.asarray(x) for x in state["log"]])
+        seq["usable_frames"] = list(state["usable_frames"])
+        seq["T_wcs"] = list(state["T_wcs"])
+        seq["P_cws"] = list(state["P_cws"])

@@ -158,6 +158,38 @@ def _tiny_pipeline():
     return proc_mod.OdamPipeline(detr, dparams, assoc, aparams, cfg)
 
 
+def test_sequence_state_checkpoint_roundtrip(tmp_path):
+    """Mid-scene save/restore resumes to identical results."""
+    pipe = _tiny_pipeline()
+    K = np.array([[100.0, 0, 32], [0, 100, 32], [0, 0, 1]], np.float32)
+    rng = np.random.default_rng(1)
+    imgs = [rng.normal(size=(64, 64, 3)).astype(np.float32) for _ in range(4)]
+    poses = []
+    for f in range(4):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.1 * f, 0, 0]
+        poses.append(T)
+
+    pipe.init_sequence(K, 64, 64)
+    for f in range(2):
+        pipe.process_frame(imgs[f], f, poses[f])
+    path = str(tmp_path / "seq_state.pkl")
+    pipe.save_sequence_state(path)
+    for f in range(2, 4):
+        pipe.process_frame(imgs[f], f, poses[f])
+    tracks_a = pipe.tracks
+
+    pipe2 = _tiny_pipeline()
+    pipe2.restore_sequence_state(path)
+    for f in range(2, 4):
+        pipe2.process_frame(imgs[f], f, poses[f])
+    tracks_b = pipe2.tracks
+
+    assert len(tracks_a) == len(tracks_b)
+    for a, b in zip(tracks_a, tracks_b):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_pipeline_end_to_end_synthetic():
     pipe = _tiny_pipeline()
     K = np.array([[100.0, 0, 32], [0, 100, 32], [0, 0, 1]], np.float32)
