@@ -28,6 +28,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from odam_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from odam_tpu.mapping import optimizer as map_opt, prior, superquadric as sq
     from odam_tpu.models import associator as assoc_mod, detr as detr_mod
     from odam_tpu.runtime import processor as proc_mod

@@ -50,6 +50,7 @@ class PipelineConfig:
     max_objs: int = 64       # mapping-stage object capacity
     max_views: int = 256     # mapping-stage views per object
     max_log_frames: int = 6000  # device observation-log capacity per scene
+    resize_on_device: bool = False  # accept raw-size frames; resize inside the step
 
 
 class FrameResult(NamedTuple):
@@ -195,6 +196,7 @@ class OdamPipeline:
         self.assoc_params = assoc_params
         self.cfg = config
         self.sequence = None
+        self._resize_to: tuple[int, int] = (0, 0)
         self._step = self._build_step()
 
     # ------------------------------------------------------------------ step
@@ -213,6 +215,13 @@ class OdamPipeline:
                 mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
                 std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
                 image = (image.astype(jnp.float32) / 255.0 - mean) / std
+            if cfg.resize_on_device and image.shape[:2] != self._resize_to:
+                # Raw-resolution frame in; bilinear resize on the VPU.  The
+                # target is the sequence's detector resolution (static; read
+                # at trace time — a new input shape retraces and re-reads).
+                image = jax.image.resize(
+                    image, self._resize_to + (3,), "bilinear"
+                )
             outputs = detr_apply(detr_params, image[None])
             dets = detr_mod.postprocess(
                 outputs, img_w, img_h, jnp.asarray(cfg.detect_threshold), K,
@@ -270,6 +279,7 @@ class OdamPipeline:
         constants are placed on device once; per-frame host traffic is one
         image + one small pose/meta array, nothing comes back until the
         sequence ends."""
+        self._resize_to = (int(img_h), int(img_w))
         self.sequence = {
             "K": np.asarray(K, np.float32),
             "K_dev": jnp.asarray(np.asarray(K, np.float32)[:3, :3]),

@@ -31,6 +31,8 @@ def timeit(fn, *args, iters=10):
 
 
 def main():
+    from odam_tpu.utils import compile_cache
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--h", type=int, default=800)
     ap.add_argument("--w", type=int, default=1071)

@@ -71,6 +71,8 @@ def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16"):
 
 
 def main():
+    from odam_tpu.utils import compile_cache
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_path", default="configs/detr_scan_net.yaml")
     ap.add_argument("--detect_threshold", default=0.6, type=float)
@@ -93,6 +95,9 @@ def main():
                     help="batched-ahead detection + streamed association "
                          "instead of the frame-sequential online step")
     ap.add_argument("--detect_batch", type=int, default=8)
+    ap.add_argument("--device_resize", action="store_true",
+                    help="ship raw uint8 frames and resize+normalize on device")
+    ap.add_argument("--prefetch_workers", type=int, default=2)
     args = ap.parse_args()
 
     from PIL import Image
@@ -108,6 +113,7 @@ def main():
         representation=args.representation,
         use_prior=args.use_prior,
         no_code=args.no_code,
+        resize_on_device=args.device_resize,
     )
     pipe = proc_mod.OdamPipeline(detr, dparams, assoc, aparams, pcfg)
 
@@ -140,22 +146,28 @@ def main():
         K_scaled[1] *= scale[1]
         pipe.init_sequence(K_scaled, ih, iw)
 
-        # Load frames (host IO) and usable poses.
-        images, fids, poses = [], [], []
-        for frame in frames:
-            T_cw = scannet.read_extrinsic(index.pose_path(seq_id, frame))
-            if np.isnan(T_cw).any():
-                continue
-            T_wc = axis_align @ np.linalg.inv(T_cw)
-            rgb = np.asarray(Image.open(index.image_path(seq_id, frame)))
-            images.append(transforms.preprocess_image(rgb, ih, iw))
-            fids.append(int(frame))
-            poses.append(T_wc)
+        from odam_tpu.data.loader import scene_frame_loader
+
+        if args.device_resize:
+            preprocess = None  # raw uint8; resize+normalize inside the step
+        else:
+            preprocess = lambda rgb: transforms.preprocess_image(rgb, ih, iw)  # noqa: E731
+        loader = scene_frame_loader(
+            index, seq_id, frames, preprocess,
+            num_workers=args.prefetch_workers,
+        )
 
         t0 = time.time()
         if args.offline:
             from odam_tpu.runtime import offline as offline_mod
 
+            images, fids, poses = [], [], []
+            for fid, img, T_cw in loader:
+                if np.isnan(T_cw).any():
+                    continue
+                images.append(img)
+                fids.append(fid)
+                poses.append(axis_align @ np.linalg.inv(T_cw))
             detector = offline_mod.BatchedDetector(
                 detr, dparams, pcfg, batch_size=args.detect_batch
             )
@@ -163,16 +175,21 @@ def main():
             out = offline_mod.run_scene_offline(
                 detector, cached, images, fids, poses, K_scaled, ih, iw
             )
+            n_frames = len(fids)
             n_tracks = len(out["tracks"])
         else:
-            for img, fid, T_wc in zip(images, fids, poses):
-                pipe.process_frame(img, fid, T_wc)
+            n_frames = 0
+            for fid, img, T_cw in loader:
+                if np.isnan(T_cw).any():
+                    continue
+                pipe.process_frame(img, fid, axis_align @ np.linalg.inv(T_cw))
+                n_frames += 1
             n_tracks = len(pipe.tracks)
             out = pipe.optim_process(pipe.tracks)
             merged = pipe.merge_process(out)
             out = pipe.optim_process(merged)
-        fps = len(fids) / max(time.time() - t0, 1e-6)
-        print(f"  {len(fids)} frames, {fps:.1f} fps, {n_tracks} tracks")
+        fps = n_frames / max(time.time() - t0, 1e-6)
+        print(f"  {n_frames} frames, {fps:.1f} fps, {n_tracks} tracks")
 
         with open(os.path.join(out_dir, seq_id), "wb") as f:
             pickle.dump(

@@ -24,6 +24,8 @@ from odam_tpu.data import scannet, transforms  # noqa: E402
 
 
 def main():
+    from odam_tpu.utils import compile_cache
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_path", default="configs/detr_scan_net.yaml")
     ap.add_argument("--scans_root", default="./data/ScanNet/scans")

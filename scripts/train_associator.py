@@ -43,6 +43,8 @@ def synthetic_scenes(rng, n_scenes=4, n_tracks=6, n_frames=40):
 
 
 def main():
+    from odam_tpu.utils import compile_cache
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_path", default="configs/detr_scan_net.yaml")
     ap.add_argument("--tracks_dir", default=None,

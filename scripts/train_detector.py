@@ -42,6 +42,8 @@ def synthetic_batches(batch_size, h, w, num_classes, max_objects, rng):
 
 
 def main():
+    from odam_tpu.utils import compile_cache
+    compile_cache.enable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_path", default="configs/detr_scan_net.yaml")
     ap.add_argument("--annotations", default=None)
