@@ -1,0 +1,186 @@
+"""Levenberg–Marquardt superquadric solver — the fast-convergence mapping path.
+
+The Adam path (odam_tpu.mapping.optimizer) replicates the reference's
+optimization semantics exactly; this module is the TPU-first alternative the
+north star calls for (BASELINE.json: "vmapped Gauss-Newton/LM loop over
+objects"): per-object damped normal-equation steps on smoothed box-edge
+residuals, converging in ~20-40 iterations instead of 200.
+
+Key re-formulations that make GN/LM work here:
+- the hard min/max pixel extremes (sq_libs.py:402-413) have sparse,
+  flickering subgradients; they are replaced by temperature-annealed
+  soft extremes (logsumexp), sharpened over the iteration schedule so the
+  final objective approaches the reference's;
+- residuals are a fixed-shape vector per object ([V, 4] masked edge errors
+  + 3 prior rows via the Cholesky factor of the prior inverse covariance);
+- Jacobians come from one ``jax.jacfwd`` over the 9 packed parameters
+  (9 forward passes, batched over all objects), J^T J is a 9x9 solve —
+  tiny, so the whole iteration is dominated by the same batched projection
+  contractions as the Adam path;
+- damping follows a standard multiplicative Marquardt schedule with
+  accept/reject, implemented branchlessly inside the scan.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import geometry as geo
+from . import superquadric as sq
+from .optimizer import PRIOR_WEIGHT, VALID_Z, OptimizeResult
+
+Array = jax.Array
+
+N_PARAMS = 9  # translate(3) + angle(1) + scales(3) + shapes(2)
+
+
+def _pack(params: sq.SQParams) -> Array:
+    return jnp.concatenate(
+        [params.translate, params.angle[..., None], params.scales, params.shapes],
+        axis=-1,
+    )
+
+
+def _unpack(x: Array) -> sq.SQParams:
+    return sq.SQParams(
+        translate=x[..., 0:3], angle=x[..., 3], scales=x[..., 4:7],
+        shapes=x[..., 7:9],
+    )
+
+
+def _soft_extremes(params: sq.SQParams, P_cw: Array, n_samples: int,
+                   temp: Array) -> Array:
+    """Soft min/max pixel extremes: [O, V, 4] (xmin, ymin, xmax, ymax).
+
+    softmax-weighted extremes with invalid (z <= 0.5) samples excluded;
+    as temp -> inf this approaches the reference's hard extremes.
+    """
+    pts = sq.surface_points_world(params, n_samples)           # [O, S, 3]
+    hom = geo.to_homogeneous(pts)
+    pix = jnp.einsum("ovij,osj->ovsi", P_cw, hom)              # [O, V, S, 3]
+    z = pix[..., 2]
+    valid = z > VALID_Z
+    uv = pix[..., :2] / (jnp.abs(pix[..., 2:]) + 1e-6)
+    x = uv[..., 0]
+    y = uv[..., 1]
+    neg = -1e9
+
+    def soft_max(v):
+        logits = jnp.where(valid, v * temp, neg)
+        w = jax.nn.softmax(logits, axis=-1)
+        return jnp.sum(w * jnp.where(valid, v, 0.0), axis=-1)
+
+    return jnp.stack(
+        [-soft_max(-x), -soft_max(-y), soft_max(x), soft_max(y)], axis=-1
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_iters", "n_samples", "representation", "use_prior"),
+)
+def optimize_superquadrics_lm(
+    init_params: sq.SQParams,
+    boxes: Array,
+    box_mask: Array,
+    view_mask: Array,
+    P_cw: Array,
+    optimize_mask: Array,
+    prior_invcov: Array | None = None,
+    *,
+    n_iters: int = 30,
+    n_samples: int = 512,
+    representation: str = "super_quadric",
+    use_prior: bool = True,
+    lambda_init: float = 1e-2,
+    temp_start: float = 2.0,
+    temp_end: float = 50.0,
+) -> OptimizeResult:
+    """LM solve over all objects of a scene (same contract as the Adam path).
+
+    Args match :func:`odam_tpu.mapping.optimizer.optimize_superquadrics`.
+    """
+    assert representation in sq.REPRESENTATIONS
+    O, V, _ = boxes.shape
+    scales_init = init_params.scales
+    if prior_invcov is None:
+        prior_invcov = jnp.zeros((O, 3, 3), boxes.dtype)
+    # Cholesky of the (PSD) prior metric; jitter for zero blocks.
+    prior_chol = jnp.linalg.cholesky(
+        PRIOR_WEIGHT * prior_invcov + 1e-8 * jnp.eye(3)
+    ) if use_prior else jnp.zeros((O, 3, 3), boxes.dtype)
+
+    active = box_mask * view_mask[..., None]                 # [O, V, 4]
+    n_valid = jnp.maximum(jnp.sum(view_mask, axis=-1), 1.0)  # [O]
+    res_scale = 1.0 / jnp.sqrt(n_valid)[:, None]             # mean-like norm
+
+    shapes_free = 1.0 if representation == "super_quadric" else 0.0
+    param_free = jnp.concatenate(
+        [jnp.ones(7), jnp.full(2, shapes_free)]
+    )
+
+    x0 = _pack(init_params)
+    lam0 = jnp.full((O,), lambda_init)
+
+    log_t0 = jnp.log(temp_start)
+    log_t1 = jnp.log(temp_end)
+
+    # The Jacobian is differentiated per object under vmap (jacfwd of the
+    # full [O, 9] -> [O, R] map would build a block-diagonal [O, R, O, 9]
+    # intermediate).
+    def residuals_single(x_o, P_o, boxes_o, active_o, rs_o, chol_o, s_init_o, temp):
+        p = sq.SQParams(
+            translate=x_o[0:3][None], angle=x_o[3][None], scales=x_o[4:7][None],
+            shapes=x_o[7:9][None],
+        )
+        pred = _soft_extremes(p, P_o[None], n_samples, temp)[0]  # [V, 4]
+        r_edge = (pred - boxes_o) * active_o * rs_o
+        r_edge = jnp.where(jnp.isnan(r_edge), 0.0, r_edge)
+        r_prior = chol_o @ (x_o[4:7] - s_init_o)
+        return jnp.concatenate([r_edge.reshape(V * 4), r_prior])
+
+    def lm_step(carry, it):
+        x, lam = carry
+        temp = jnp.exp(log_t0 + (log_t1 - log_t0) * it / max(n_iters - 1, 1))
+
+        def per_obj(x_o, P_o, b_o, a_o, rs_o, c_o, si_o, lam_o, on):
+            r = residuals_single(x_o, P_o, b_o, a_o, rs_o, c_o, si_o, temp)
+            J = jax.jacfwd(residuals_single)(x_o, P_o, b_o, a_o, rs_o, c_o, si_o, temp)
+            J = J * param_free[None, :]
+            g = J.T @ r                                       # [9]
+            H = J.T @ J                                       # [9, 9]
+            A = H + lam_o * jnp.eye(N_PARAMS) * (jnp.diag(H) + 1e-6)
+            dx = jnp.linalg.solve(A, g) * param_free
+            x_new = x_o - dx
+            r_new = residuals_single(x_new, P_o, b_o, a_o, rs_o, c_o, si_o, temp)
+            better = jnp.sum(r_new ** 2) < jnp.sum(r ** 2)
+            accept = better & on
+            x_out = jnp.where(accept, x_new, x_o)
+            lam_out = jnp.clip(
+                jnp.where(better, lam_o * 0.5, lam_o * 4.0), 1e-6, 1e4
+            )
+            return x_out, lam_out, jnp.sum(jnp.where(accept, r_new ** 2, r ** 2))
+
+        x, lam, losses = jax.vmap(per_obj)(
+            x, P_cw, boxes, active, res_scale[:, 0],
+            prior_chol, scales_init, lam, optimize_mask,
+        )
+        return (x, lam), jnp.sum(losses * optimize_mask)
+
+    (x_final, _), loss_log = jax.lax.scan(
+        lm_step, (x0, lam0), jnp.arange(n_iters)
+    )
+    params = _unpack(x_final)
+
+    corners = sq.oriented_box_corners(params, max(n_samples, 512))
+    dims_init = 2.0 * scales_init ** 2
+    corners_det = geo.box3d_corners(dims_init, init_params.angle, init_params.translate)
+    keep = optimize_mask[:, None, None]
+    corners = jnp.where(keep, corners, corners_det)
+    return OptimizeResult(
+        params=params, loss_log=loss_log, corners=corners,
+        corners_detector=corners_det,
+    )

@@ -44,6 +44,7 @@ class PipelineConfig:
     use_prior: bool = True
     no_code: bool = True
     track_bbox_samples: int = 1000  # surface samples for track re-projection
+    optim_solver: str = "adam"  # "adam" (reference-exact) | "lm" (fast GN/LM)
     optim_iters: int = 200
     optim_samples: int = 1000
     min_views: int = 10
@@ -343,14 +344,26 @@ class OdamPipeline:
             jnp.asarray(sc.init_translate), jnp.asarray(sc.init_angle),
             jnp.asarray(sc.init_dims), cfg.representation,
         )
-        res = optimizer.optimize_superquadrics(
+        solver_args = (
             init, jnp.asarray(sc.boxes), jnp.asarray(sc.box_mask),
             jnp.asarray(sc.view_mask), jnp.asarray(sc.P_cw),
             jnp.asarray(sc.optimize_mask),
             jnp.asarray(prior.prior_invcov_for_classes(sc.obj_class)),
-            n_iters=cfg.optim_iters, n_samples=cfg.optim_samples,
-            representation=cfg.representation, use_prior=cfg.use_prior,
         )
+        if cfg.optim_solver == "lm":
+            from ..mapping import lm_solver
+
+            res = lm_solver.optimize_superquadrics_lm(
+                *solver_args,
+                n_iters=min(cfg.optim_iters, 40), n_samples=cfg.optim_samples,
+                representation=cfg.representation, use_prior=cfg.use_prior,
+            )
+        else:
+            res = optimizer.optimize_superquadrics(
+                *solver_args,
+                n_iters=cfg.optim_iters, n_samples=cfg.optim_samples,
+                representation=cfg.representation, use_prior=cfg.use_prior,
+            )
         n_objs = int(sc.obj_valid.sum())
         corners = np.asarray(res.corners)
         corners_dl = np.asarray(res.corners_detector)

@@ -1,0 +1,120 @@
+"""LM mapping solver: convergence and comparison with the Adam path."""
+import jax.numpy as jnp
+import numpy as np
+
+from odam_tpu.mapping import lm_solver, optimizer, superquadric as sq
+from odam_tpu.utils import geometry as geo, host_boxes
+
+
+def _look_at(cam, target):
+    fwd = target - cam
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, [0.0, 0.0, 1.0])
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    T = np.eye(4)
+    T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = right, down, fwd, cam
+    return T
+
+
+def _views(center, dims, angle, n_views=12, noise=1.0, seed=0):
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+    rng = np.random.default_rng(seed)
+    corners = np.asarray(
+        geo.box3d_corners(jnp.asarray(dims), jnp.asarray(angle), jnp.asarray(center))
+    )
+    Ps, boxes = [], []
+    for k in range(n_views):
+        phi = 2 * np.pi * k / n_views
+        cam = center + 3.0 * np.array([np.cos(phi), np.sin(phi), 0.35])
+        P = K @ np.linalg.inv(_look_at(cam, center))[:3, :]
+        hom = np.concatenate([corners, np.ones((8, 1))], 1)
+        uv = hom @ P.T
+        uv = uv[:, :2] / uv[:, 2:]
+        boxes.append(
+            np.array([uv[:, 0].min(), uv[:, 1].min(), uv[:, 0].max(), uv[:, 1].max()])
+            + rng.normal(0, noise, 4)
+        )
+        Ps.append(P)
+    return np.asarray(Ps, np.float32), np.asarray(boxes, np.float32)
+
+
+def test_lm_converges_and_matches_adam_quality():
+    center = np.array([0.1, -0.2, 0.8])
+    dims = np.array([0.9, 0.6, 1.1])
+    angle = 0.4
+    Ps, boxes = _views(center, dims, angle)
+    V = len(Ps)
+
+    init = sq.init_params(
+        jnp.asarray((center + [0.35, -0.25, 0.2])[None].astype(np.float32)),
+        jnp.asarray(np.array([angle], np.float32)),
+        jnp.asarray((dims * 1.4)[None].astype(np.float32)),
+    )
+    args = (
+        init, jnp.asarray(boxes[None]), jnp.ones((1, V, 4), jnp.float32),
+        jnp.ones((1, V), jnp.float32), jnp.asarray(Ps[None]),
+        jnp.ones((1,), bool), None,
+    )
+    gt_corners = np.asarray(
+        geo.box3d_corners(jnp.asarray(dims), jnp.asarray(angle), jnp.asarray(center))
+    )
+
+    lm = lm_solver.optimize_superquadrics_lm(
+        *args, n_iters=25, n_samples=300, use_prior=False
+    )
+    lm_iou, _ = host_boxes.box3d_iou(np.asarray(lm.corners[0], np.float64), gt_corners)
+    lm_log = np.asarray(lm.loss_log)
+    assert lm_log[-1] < lm_log[0] * 0.5
+    np.testing.assert_allclose(np.asarray(lm.params.translate[0]), center, atol=0.15)
+
+    adam = optimizer.optimize_superquadrics(
+        *args, n_iters=200, n_samples=300, use_prior=False
+    )
+    adam_iou, _ = host_boxes.box3d_iou(np.asarray(adam.corners[0], np.float64), gt_corners)
+
+    # 25 LM iterations reach Adam-200 quality (within a small margin)
+    assert lm_iou > 0.5, (lm_iou, adam_iou)
+    assert lm_iou > adam_iou - 0.1, (lm_iou, adam_iou)
+
+
+def test_lm_respects_masks_and_freeze():
+    init = sq.init_params(
+        jnp.zeros((2, 3)), jnp.zeros((2,)), jnp.ones((2, 3))
+    )
+    V = 4
+    res = lm_solver.optimize_superquadrics_lm(
+        init,
+        jnp.full((2, V, 4), 100.0),
+        jnp.ones((2, V, 4)),
+        jnp.ones((2, V)),
+        jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.ones((3, 1))], 1), (2, V, 3, 4)
+        ).astype(jnp.float32),
+        jnp.array([True, False]),  # object 1 frozen
+        None,
+        n_iters=5,
+        n_samples=64,
+        use_prior=False,
+    )
+    assert np.isfinite(np.asarray(res.corners)).all()
+    # frozen object's params unchanged
+    np.testing.assert_allclose(np.asarray(res.params.translate[1]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res.corners[1]), np.asarray(res.corners_detector[1]), atol=1e-5
+    )
+
+
+def test_lm_cube_mode_freezes_shapes():
+    init = sq.init_params(
+        jnp.zeros((1, 3)), jnp.zeros((1,)), jnp.ones((1, 3)), "cube"
+    )
+    Ps, boxes = _views(np.zeros(3) + [0, 0, 0.5], np.ones(3), 0.0, n_views=6)
+    res = lm_solver.optimize_superquadrics_lm(
+        init, jnp.asarray(boxes[None]), jnp.ones((1, 6, 4)), jnp.ones((1, 6)),
+        jnp.asarray(Ps[None]), jnp.ones((1,), bool), None,
+        n_iters=5, n_samples=64, representation="cube", use_prior=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.params.shapes[0]), sq.CUBE_SHAPE_LOGIT, atol=1e-4
+    )
