@@ -69,6 +69,60 @@ def inference_transform(img: np.ndarray, short_side: int = 800,
 
 
 # ---------------------------------------------------------------------------
+# YUV 4:2:0 frame packing (bandwidth-efficient host->device transport)
+# ---------------------------------------------------------------------------
+
+def rgb_to_yuv420(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint8 RGB [H, W, 3] -> (Y [H, W] uint8, UV [H/2, W/2, 2] uint8).
+
+    BT.601 full-range; chroma is 2x2 box-averaged.  Halves the bytes shipped
+    per frame versus packed RGB — the natural transport for a posed-video
+    pipeline (camera streams arrive chroma-subsampled anyway).  H and W must
+    be even (pad a row/column upstream if needed).
+    """
+    rgb = np.asarray(rgb)
+    if rgb.dtype != np.uint8:
+        rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+    f = rgb.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    H, W = y.shape
+    H2, W2 = H // 2 * 2, W // 2 * 2
+    uv = np.stack([u[:H2, :W2], v[:H2, :W2]], axis=-1)
+    uv = uv.reshape(H2 // 2, 2, W2 // 2, 2, 2).mean(axis=(1, 3))
+    return np.clip(y, 0, 255).astype(np.uint8), np.clip(uv, 0, 255).astype(np.uint8)
+
+
+def yuv420_to_rgb_device(y, uv):
+    """Device-side inverse of :func:`rgb_to_yuv420` -> float32 RGB in [0, 255].
+
+    Chroma is nearest-upsampled (matches typical video decode).  Pure jnp —
+    called inside the jitted pipeline step.
+    """
+    import jax.numpy as jnp
+
+    yf = y.astype(jnp.float32)
+    uvf = uv.astype(jnp.float32) - 128.0
+    H, W = yf.shape
+    uv_up = jnp.repeat(jnp.repeat(uvf, 2, axis=0), 2, axis=1)
+    # odd H/W: chroma was computed on the even-cropped region; edge-extend
+    pad_h = H - uv_up.shape[0]
+    pad_w = W - uv_up.shape[1]
+    if pad_h > 0 or pad_w > 0:
+        uv_up = jnp.pad(uv_up, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0)),
+                        mode="edge")
+    uv_up = uv_up[:H, :W]
+    u = uv_up[..., 0]
+    v = uv_up[..., 1]
+    r = yf + 1.402 * v
+    g = yf - 0.344136 * u - 0.714136 * v
+    b = yf + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
 # Training augmentation (reference: transforms.py:15-139, 281-290)
 # ---------------------------------------------------------------------------
 

@@ -44,6 +44,7 @@ class AssociatorConfig:
     self_gnn_layers: Sequence[str] = ("self", "self")
     sinkhorn_iterations: int = 100
     num_heads: int = 4
+    decode: str = "exact"  # "exact" (Hungarian, reference parity) | "greedy" (fast peel)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -168,8 +169,11 @@ class Associator(nn.Module):
             row_mask=track_mask, col_mask=det_mask,
         )
 
+        decode_fn = (
+            lap.greedy_peel_match if c.decode == "greedy" else lap.match_by_score
+        )
         matches = jax.vmap(
-            lambda z, tm, dm: lap.match_by_score(
+            lambda z, tm, dm: decode_fn(
                 jnp.exp(z[:-1, :-1]), match_threshold, tm, dm
             )
         )(Z, track_mask, det_mask)

@@ -214,7 +214,7 @@ def nms_3d_mask(classes: Array, scores: Array, t_co: Array, dims: Array,
         return keep, suppressed
 
     keep, _ = jax.lax.fori_loop(
-        0, Q, body, (jnp.zeros(Q, bool), jnp.zeros(Q, bool))
+        0, Q, body, (jnp.zeros(Q, bool), jnp.zeros(Q, bool)), unroll=8
     )
     return keep
 

@@ -171,6 +171,46 @@ def masked_assignment(cost: Array, row_mask: Array, col_mask: Array) -> Array:
     return jnp.where(valid, col4row, -1)
 
 
+def greedy_peel_match(score: Array, threshold: float | Array,
+                      row_mask: Array | None = None,
+                      col_mask: Array | None = None) -> Array:
+    """Greedy global-argmax assignment decode: [M, N] score -> [N] track ids.
+
+    Repeatedly takes the highest remaining score, assigns that (track,
+    detection) pair, and removes its row/column — min(M, N) vectorized steps
+    instead of the Hungarian solver's long sequential while-loops.  On
+    Sinkhorn-sharpened (near-permutation) score matrices this decodes
+    identically to the exact solver (tested); it is the pipeline's
+    low-latency default, with :func:`match_by_score` as the exact option.
+    """
+    M, N = score.shape
+    neg = -jnp.inf
+    s = score
+    if row_mask is not None:
+        s = jnp.where(row_mask[:, None], s, neg)
+    if col_mask is not None:
+        s = jnp.where(col_mask[None, :], s, neg)
+
+    def body(carry, _):
+        s, out = carry
+        flat = jnp.argmax(s)
+        r = flat // N
+        c = flat % N
+        ok = s[r, c] > threshold
+        out = jnp.where(ok, out.at[c].set(r.astype(jnp.int32)), out)
+        # remove the pair whether or not it cleared the threshold (nothing
+        # below the current max can exceed it later)
+        s = s.at[r, :].set(neg).at[:, c].set(neg)
+        return (s, out), None
+
+    (_, out), _ = jax.lax.scan(
+        body, (s, jnp.full((N,), -1, jnp.int32)), None, length=min(M, N)
+    )
+    if col_mask is not None:
+        out = jnp.where(col_mask, out, -1)
+    return out
+
+
 def match_by_score(score: Array, threshold: float | Array,
                    row_mask: Array | None = None,
                    col_mask: Array | None = None) -> Array:

@@ -35,7 +35,10 @@ def log_sinkhorn(Z: Array, log_mu: Array, log_nu: Array, iters: int) -> Array:
         v = log_nu - jax.nn.logsumexp(Z + u[..., :, None], axis=-2)
         return (u, v), None
 
-    (u, v), _ = jax.lax.scan(step, (u0, v0), None, length=iters)
+    # Unrolled scan: each iteration is tiny (two masked logsumexps), so
+    # amortizing loop overhead over 10 iterations cuts wall-clock on TPU.
+    (u, v), _ = jax.lax.scan(step, (u0, v0), None, length=iters,
+                             unroll=min(10, iters))
     return Z + u[..., :, None] + v[..., None, :]
 
 

@@ -208,13 +208,20 @@ class OdamPipeline:
 
         @partial(jax.jit, donate_argnames=("store", "log"))
         def step(detr_params, assoc_params, store: tracker.TrackStore,
-                 log: tracker.FrameLog, image: Array, frame_id: Array,
+                 log: tracker.FrameLog, image, frame_id: Array,
                  T_wc: Array, K: Array, img_w: Array, img_h: Array) -> FrameResult:
-            if image.dtype == jnp.uint8:
+            mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+            if isinstance(image, tuple):
+                # YUV 4:2:0 transport: (Y uint8 [H, W], UV uint8 [H/2, W/2, 2])
+                # — half the host-link bytes of packed RGB; reconstructed and
+                # normalized on the VPU.
+                from ..data.transforms import yuv420_to_rgb_device
+
+                image = (yuv420_to_rgb_device(*image) / 255.0 - mean) / std
+            elif image.dtype == jnp.uint8:
                 # On-device ImageNet normalization: ships 3x fewer bytes per
                 # frame over the host link than pre-normalized float32.
-                mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-                std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
                 image = (image.astype(jnp.float32) / 255.0 - mean) / std
             if cfg.resize_on_device and image.shape[:2] != self._resize_to:
                 # Raw-resolution frame in; bilinear resize on the VPU.  The
@@ -309,9 +316,13 @@ class OdamPipeline:
         seq["P_cws"].append(seq["K"][:3, :3] @ np.linalg.inv(T_wc)[:3, :])
         seq["tracks_cache"] = None
 
+        if isinstance(image, tuple):
+            image_dev = tuple(jnp.asarray(p) for p in image)
+        else:
+            image_dev = jnp.asarray(image)
         result = self._step(
             self.detr_params, self.assoc_params, seq["store"], seq["log"],
-            jnp.asarray(image), jnp.asarray(float(frame_id)),
+            image_dev, jnp.asarray(float(frame_id)),
             jnp.asarray(T_wc), seq["K_dev"], seq["w_dev"], seq["h_dev"],
         )
         seq["store"] = result.store

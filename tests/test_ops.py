@@ -210,6 +210,39 @@ def test_match_by_score_threshold():
     assert out[2] == -1
 
 
+def test_greedy_peel_matches_exact_on_sharp_scores():
+    """On decisive (trained-associator-like) score matrices the greedy peel
+    decode agrees with the exact Hungarian decode.  (On ambiguous random
+    matrices they can differ — that is why "exact" stays the default.)"""
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        M, N = 12, 9
+        # strong ground-truth assignment + weak clutter
+        scores = rng.normal(scale=0.3, size=(M, N)).astype(np.float32) - 3.0
+        perm = rng.permutation(M)[:N]
+        for d in range(N):
+            scores[perm[d], d] = 4.0 + rng.normal(scale=0.2)
+        scores = jnp.asarray(scores)
+        Z = sinkhorn.log_optimal_transport(scores, jnp.asarray(1.0), iters=100)
+        P = jnp.exp(Z[:-1, :-1])
+        exact = np.asarray(lap.match_by_score(P, 0.1))
+        greedy = np.asarray(lap.greedy_peel_match(P, 0.1))
+        np.testing.assert_array_equal(greedy, exact, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(exact, perm[:N])
+
+
+def test_greedy_peel_threshold_and_masks():
+    score = jnp.asarray(
+        np.array([[0.9, 0.05, 0.0], [0.0, 0.04, 0.0]], np.float32)
+    )
+    out = np.asarray(lap.greedy_peel_match(score, 0.1))
+    assert out[0] == 0 and out[1] == -1 and out[2] == -1
+    cm = jnp.asarray(np.array([False, True, True]))
+    out = np.asarray(lap.greedy_peel_match(score, 0.01, col_mask=cm))
+    assert out[0] == -1  # masked column stays unmatched
+    assert out[1] == 0   # best remaining score (0.05) belongs to track 0
+
+
 def test_match_by_score_masked():
     M, N = 6, 5
     score = np.zeros((M, N), np.float32)
