@@ -23,8 +23,6 @@ Key re-formulations that make GN/LM work here:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

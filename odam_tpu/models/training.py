@@ -9,7 +9,6 @@ from the global-program formulation (no hand-written psum).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

@@ -19,7 +19,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..utils import host_boxes  # noqa: F401  (kept for API symmetry)
 
 
 @dataclass
