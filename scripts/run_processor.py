@@ -98,6 +98,10 @@ def main():
     ap.add_argument("--device_resize", action="store_true",
                     help="ship raw uint8 frames and resize+normalize on device")
     ap.add_argument("--prefetch_workers", type=int, default=2)
+    ap.add_argument("--shard", default=None,
+                    help="'i/n': process scenes i, i+n, i+2n, ... — shard a "
+                         "val split across hosts/processes (outputs are "
+                         "per-scene, so shards combine trivially)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -123,7 +127,13 @@ def main():
             sequences = f.read().splitlines()
     index = scannet.SceneIndex(args.scans_root, sequences)
 
-    for seq_id in index.sequences:
+    scene_list = index.sequences
+    if args.shard:
+        i, n = (int(x) for x in args.shard.split("/"))
+        scene_list = scene_list[i::n]
+        print(f"shard {i}/{n}: {len(scene_list)} scenes")
+
+    for seq_id in scene_list:
         out_dir = os.path.join(args.out_dir, seq_id)
         out_path = os.path.join(out_dir, seq_id)
         if args.resume and os.path.exists(out_path):

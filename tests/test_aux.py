@@ -178,6 +178,26 @@ def test_association_eval_perfect_matcher():
 
 # -------------------------------------------------------- pallas attention
 
+def test_flash_attention_matches_reference():
+    """Streaming (blockwise online-softmax) attention == dense attention."""
+    from odam_tpu.ops import pallas_attention
+    from odam_tpu.ops.attention import mha_core
+
+    rng = np.random.default_rng(1)
+    B, Lq, Lk, H, dh = 1, 8, 300, 2, 16  # Lk spans multiple KV blocks + padding
+    q = jnp.asarray(rng.normal(size=(B, Lq, H * dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Lk, H * dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Lk, H * dh)).astype(np.float32))
+    kpm = np.zeros((B, Lk), bool)
+    kpm[:, -7:] = True
+    ref = mha_core(q, k, v, H, jnp.asarray(kpm))
+    out = pallas_attention.flash_attention(
+        q.reshape(B, Lq, H, dh), k.reshape(B, Lk, H, dh), v.reshape(B, Lk, H, dh),
+        jnp.asarray(kpm), block_k=128, interpret=True,
+    ).reshape(B, Lq, H * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 def test_pallas_attention_matches_reference():
     from odam_tpu.ops import pallas_attention
     from odam_tpu.ops.attention import mha_core
