@@ -54,6 +54,52 @@ def save_detection_snapshot(path: str, image: np.ndarray, boxes: np.ndarray,
     plt.close(fig)
 
 
+def save_matching_snapshot(path: str, image: np.ndarray,
+                           track_boxes: np.ndarray, det_boxes: np.ndarray,
+                           matches: np.ndarray):
+    """Visualize association decisions on one frame.
+
+    Track boxes draw cyan, detections green (matched, labeled with the track
+    id) or red (unmatched) — the reference's matching visualization
+    (visual_utils.py:134-175) without its side-by-side frame pair.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 8))
+    ax.imshow(image)
+    draw_boxes_2d(ax, track_boxes, color="cyan")
+    matched = np.asarray(matches) >= 0
+    if matched.any():
+        draw_boxes_2d(
+            ax, np.atleast_2d(det_boxes)[matched],
+            labels=[f"t{int(t)}" for t in np.asarray(matches)[matched]],
+            color="lime",
+        )
+    if (~matched).any():
+        draw_boxes_2d(ax, np.atleast_2d(det_boxes)[~matched], color="red")
+    ax.axis("off")
+    fig.savefig(path, bbox_inches="tight", dpi=100)
+    plt.close(fig)
+
+
+def plot_loss(path: str, losses, label: str = "loss"):
+    """Loss-curve plot (visual_utils.py:338 equivalent)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.plot(np.asarray(losses))
+    ax.set_xlabel("iteration")
+    ax.set_ylabel(label)
+    fig.savefig(path, bbox_inches="tight", dpi=100)
+    plt.close(fig)
+
+
 def sq_surface_mesh(params, grid: int = 48) -> tuple[np.ndarray, np.ndarray]:
     """Triangulated superquadric surface: -> (vertices [V, 3], faces [F, 3]).
 

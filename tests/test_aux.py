@@ -148,6 +148,21 @@ def test_detection_snapshot(tmp_path):
     assert os.path.getsize(path) > 0
 
 
+def test_matching_snapshot_and_loss_plot(tmp_path):
+    pytest.importorskip("matplotlib")
+    p1 = str(tmp_path / "match.png")
+    viz.save_matching_snapshot(
+        p1, np.zeros((64, 64, 3), np.uint8),
+        np.array([[5, 5, 30, 30]]),
+        np.array([[6, 6, 31, 31], [40, 40, 60, 60]]),
+        np.array([0, -1]),
+    )
+    assert os.path.getsize(p1) > 0
+    p2 = str(tmp_path / "loss.png")
+    viz.plot_loss(p2, [3.0, 2.0, 1.5])
+    assert os.path.getsize(p2) > 0
+
+
 # ------------------------------------------------------- association eval
 
 def test_association_eval_perfect_matcher():
