@@ -8,7 +8,7 @@ from the global-program formulation (no hand-written psum).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, NamedTuple
 
 import jax
@@ -35,7 +35,9 @@ class DetrTrainConfig:
     lr_backbone: float = 1e-5
     weight_decay: float = 1e-4
     clip_norm: float = 0.1
-    criterion: crit_mod.CriterionConfig = crit_mod.CriterionConfig()
+    criterion: crit_mod.CriterionConfig = field(
+        default_factory=crit_mod.CriterionConfig
+    )
 
 
 def _is_backbone_path(path) -> bool:
