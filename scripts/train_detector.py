@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--log_every", type=int, default=20)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--resume_ckpt", default=None,
+                    help="orbax params checkpoint to resume from (this "
+                         "environment's TPU worker can crash under sustained "
+                         "load; segmented runs resume here)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +79,9 @@ def main():
     params = model.init(
         jax.random.key(0), jnp.zeros((1, args.img_h, args.img_w, 3))
     )
+    if args.resume_ckpt:
+        params = checkpoint.restore(args.resume_ckpt, params)
+        print(f"resumed params from {args.resume_ckpt}")
     tcfg = train_mod.DetrTrainConfig(
         lr=float(cfg.get("lr", 1e-4)), lr_backbone=float(cfg.get("lr_backbone", 1e-5)),
         criterion=crit_mod.CriterionConfig(
