@@ -50,6 +50,10 @@ class CriterionConfig:
     weight_offset: float = 3.0
     weight_size: float = 1.0
     weight_depth: float = 1.0
+    weight_mask: float = 1.0   # mask_loss_coef (configs/detr_scan_net.yaml:17)
+    weight_dice: float = 1.0   # dice_loss_coef (configs/detr_scan_net.yaml:18)
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
 
 
 def _gather_targets(t: Array, tgt4query: Array) -> Array:
@@ -120,6 +124,70 @@ def layer_losses(outputs: dict, targets: Targets, tgt4query: Array,
     }
 
 
+def sigmoid_focal_loss(logits: Array, targets: Array, valid: Array,
+                       num_boxes: Array, alpha: float = 0.25,
+                       gamma: float = 2.0) -> Array:
+    """Per-pixel focal loss, averaged per mask then normalized by num_boxes.
+
+    The reference's loss_masks (src/models/detr.py:386-413) calls a
+    ``sigmoid_focal_loss`` it never defines (dead code that would NameError);
+    semantics here follow the DETR lineage it copy-pastes from.
+
+    Args:
+        logits: [K, P] predicted mask logits (flattened pixels).
+        targets: [K, P] binary target masks.
+        valid: [K] bool, padded/unmatched rows excluded.
+    """
+    prob = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = prob * targets + (1.0 - prob) * (1.0 - targets)
+    loss = ce * (1.0 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+        loss = alpha_t * loss
+    per_mask = jnp.mean(loss, axis=-1)
+    return jnp.sum(per_mask * valid.astype(loss.dtype)) / num_boxes
+
+
+def dice_loss(logits: Array, targets: Array, valid: Array,
+              num_boxes: Array) -> Array:
+    """Soft-dice loss over flattened masks (DETR-lineage semantics; the
+    reference cites but never defines it, src/models/detr.py:410-411)."""
+    inputs = jax.nn.sigmoid(logits)
+    numerator = 2.0 * jnp.sum(inputs * targets, axis=-1)
+    denominator = jnp.sum(inputs, axis=-1) + jnp.sum(targets, axis=-1)
+    per_mask = 1.0 - (numerator + 1.0) / (denominator + 1.0)
+    return jnp.sum(per_mask * valid.astype(per_mask.dtype)) / num_boxes
+
+
+def loss_masks(pred_masks: Array, target_masks: Array, tgt4query: Array,
+               num_boxes: Array, cfg: CriterionConfig = CriterionConfig()) -> dict:
+    """Focal + dice mask losses over matched (query, target) pairs.
+
+    Mirrors reference loss_masks (src/models/detr.py:386-413): gather matched
+    predictions, bilinearly upsample to the target resolution, flatten, and
+    normalize by the global box count.  Static-shape: every query slot is
+    computed and unmatched slots are masked out of the sums.
+
+    Args:
+        pred_masks: [B, Q, h, w] predicted mask logits.
+        target_masks: [B, M, H, W] binary target masks (padded slots zero).
+        tgt4query: [B, Q] matched target index per query, -1 if unmatched.
+    """
+    B, Q, h, w = pred_masks.shape
+    H, W = target_masks.shape[-2:]
+    up = jax.image.resize(pred_masks, (B, Q, H, W), method="bilinear")
+    tgt = jax.vmap(_gather_targets)(target_masks, tgt4query)  # [B, Q, H, W]
+    valid = (tgt4query >= 0).reshape(B * Q)
+    logits = up.reshape(B * Q, H * W).astype(jnp.float32)
+    targets = tgt.reshape(B * Q, H * W).astype(jnp.float32)
+    return {
+        "loss_mask": sigmoid_focal_loss(logits, targets, valid, num_boxes,
+                                        cfg.focal_alpha, cfg.focal_gamma),
+        "loss_dice": dice_loss(logits, targets, valid, num_boxes),
+    }
+
+
 def weighted_total(losses: dict[str, Array], cfg: CriterionConfig) -> Array:
     return (
         cfg.weight_ce * losses["loss_ce"]
@@ -133,25 +201,40 @@ def weighted_total(losses: dict[str, Array], cfg: CriterionConfig) -> Array:
 
 
 def set_criterion(outputs: dict, targets: Targets,
-                  cfg: CriterionConfig = CriterionConfig()) -> tuple[Array, dict]:
+                  cfg: CriterionConfig = CriterionConfig(),
+                  target_masks: Array | None = None) -> tuple[Array, dict]:
     """Total weighted loss incl. aux layers -> (scalar, metrics dict).
 
     The normalizer is the target count over the *global* batch (clamped at
     1), equal to the reference's distributed num_boxes averaging when the
     batch axis is sharded (detr.py:453-458).
+
+    When ``target_masks`` [B, M, H, W] is given and the model emits
+    ``pred_masks``, focal + dice mask losses are added for the final layer
+    only — the reference skips intermediate mask losses as too costly
+    (detr.py:472-474).
     """
     num_boxes = jnp.maximum(jnp.sum(targets.mask.astype(jnp.float32)), 1.0)
 
-    def match_and_lose(out):
-        tgt4query = matcher_mod.hungarian_match(
+    def match(out):
+        return matcher_mod.hungarian_match(
             out["pred_logits"], out["pred_boxes"], targets.classes,
             targets.boxes, targets.mask, cfg.matcher,
         )
-        return layer_losses(out, targets, tgt4query, num_boxes, cfg)
 
-    losses = match_and_lose(outputs)
+    def match_and_lose(out):
+        return layer_losses(out, targets, match(out), num_boxes, cfg)
+
+    tgt4query = match(outputs)
+    losses = layer_losses(outputs, targets, tgt4query, num_boxes, cfg)
     total = weighted_total(losses, cfg)
     metrics = dict(losses)
+    if target_masks is not None and "pred_masks" in outputs:
+        mlosses = loss_masks(outputs["pred_masks"], target_masks, tgt4query,
+                             num_boxes, cfg)
+        total = (total + cfg.weight_mask * mlosses["loss_mask"]
+                 + cfg.weight_dice * mlosses["loss_dice"])
+        metrics.update(mlosses)
     for i, aux in enumerate(outputs.get("aux_outputs", [])):
         aux_losses = match_and_lose(aux)
         total = total + weighted_total(aux_losses, cfg)

@@ -167,3 +167,58 @@ def test_mesh_helpers():
     x = np.ones((5, 3), np.float32)
     padded = mesh_mod.pad_to_multiple(x, 4)
     assert padded.shape == (8, 3)
+
+
+def test_mask_losses_match_detr_lineage_formulas():
+    """Focal + dice mask losses (criterion.loss_masks) vs an independent
+    torch implementation of the standard DETR formulas.  The reference's
+    loss_masks (src/models/detr.py:386-413) calls sigmoid_focal_loss /
+    dice_loss it never defines, so the DETR lineage is the ground truth."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as tF
+
+    from odam_tpu.models import criterion
+
+    rng = np.random.default_rng(3)
+    B, Q, M, h, w, H, W = 2, 5, 3, 4, 4, 8, 8
+    pred = rng.normal(size=(B, Q, h, w)).astype(np.float32)
+    tgt = (rng.random(size=(B, M, H, W)) > 0.5).astype(np.float32)
+    tgt4query = np.full((B, Q), -1, np.int32)
+    tgt4query[0, 1] = 0
+    tgt4query[0, 4] = 2
+    tgt4query[1, 0] = 1
+    num_boxes = 3.0
+
+    out = criterion.loss_masks(
+        jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(tgt4query),
+        jnp.asarray(num_boxes),
+    )
+
+    # torch ground truth over the matched pairs only
+    src_list, tgt_list = [], []
+    for b in range(B):
+        for q in range(Q):
+            if tgt4query[b, q] >= 0:
+                up = tF.interpolate(
+                    torch.from_numpy(pred[b, q])[None, None], size=(H, W),
+                    mode="bilinear", align_corners=False,
+                )[0, 0]
+                src_list.append(up.flatten())
+                tgt_list.append(torch.from_numpy(tgt[b, tgt4query[b, q]]).flatten())
+    inputs = torch.stack(src_list)
+    targets = torch.stack(tgt_list)
+
+    prob = inputs.sigmoid()
+    ce = tF.binary_cross_entropy_with_logits(inputs, targets, reduction="none")
+    p_t = prob * targets + (1 - prob) * (1 - targets)
+    focal = ce * ((1 - p_t) ** 2)
+    alpha_t = 0.25 * targets + 0.75 * (1 - targets)
+    ref_focal = float((alpha_t * focal).mean(1).sum() / num_boxes)
+
+    numerator = 2 * (prob * targets).sum(-1)
+    denominator = prob.sum(-1) + targets.sum(-1)
+    ref_dice = float((1 - (numerator + 1) / (denominator + 1)).sum() / num_boxes)
+
+    np.testing.assert_allclose(float(out["loss_mask"]), ref_focal, rtol=1e-5)
+    np.testing.assert_allclose(float(out["loss_dice"]), ref_dice, rtol=1e-5)
