@@ -87,6 +87,61 @@ def load_predictions(result_dir: str, min_views: int = 1) -> dict[str, list]:
     return predictions
 
 
+def load_predictions_vid2cad(csv_path: str, axis_align_matrices: dict,
+                             box2cad: dict, view_threshold: int = 1
+                             ) -> dict[str, list]:
+    """Vid2CAD CSV predictions -> the same per-scene prediction schema as
+    :func:`load_predictions`, for the paper's headline comparison.
+
+    Reference behavior (eval_scan2cad.py:148-188): one CSV row per aligned
+    CAD model — ``scene_suffix, catid_cad, id_cad, t(3), q_wxyz(4), s(3),
+    _, n_frames, score`` (header row skipped); classes outside the 8 cared
+    categories dropped; per-model CAD-normalization scale folded in via the
+    ``box2cad`` table (``s_box = s_csv / 2 * diag(box2cad[catid_id])[:3]``);
+    corners at +-s_box/2 are lifted by T_wo = (t, q) and the scene's
+    axis-align matrix; rows observed in fewer than ``view_threshold`` frames
+    skipped.
+
+    Args:
+        csv_path: Vid2CAD results CSV.
+        axis_align_matrices: scene id -> 4x4 axis-align matrix.
+        box2cad: "catid_cadid" -> 4x4 CAD bbox-normalization matrix
+            (the reference loads it from box2cad.json, eval_scan2cad.py:331).
+    """
+    import csv
+
+    predictions: dict[str, list] = {}
+    with open(csv_path) as f:
+        rows = list(csv.reader(f, delimiter=","))
+    for row in rows[1:]:  # first line is the header (eval_scan2cad.py:152)
+        scan_id = f"scene{row[0]}"
+        predictions.setdefault(scan_id, [])
+        catid_cad = row[1]
+        if catid_cad not in CARE_CLASSES:
+            continue
+        cadkey = f"{catid_cad}_{row[2]}"
+        b2c = np.asarray(box2cad[cadkey], dtype=np.float64)
+
+        t = np.asarray(row[3:6], dtype=np.float64)
+        q = np.asarray(row[6:10], dtype=np.float64)  # wxyz
+        s = np.asarray(row[10:13], dtype=np.float64) / 2
+        s = s * np.diagonal(b2c)[:3]
+
+        T_wo = scannet.make_M_from_tqs(t, q, np.ones(3))
+        corners = corners_by_dims(s)
+        corners = corners @ T_wo[:3, :3].T + T_wo[:3, 3]
+        T_align = np.asarray(axis_align_matrices[scan_id], dtype=np.float64)
+        corners = corners @ T_align[:3, :3].T + T_align[:3, 3]
+
+        if int(row[14]) < view_threshold:
+            continue
+        predictions[scan_id].append(
+            {"class": catid_cad, "bbox": corners,
+             "num_frames": row[14], "scores": row[15]}
+        )
+    return predictions
+
+
 @dataclass
 class F1Counts:
     gts: dict = field(default_factory=lambda: {k: 0 for k in CARE_CLASSES})
@@ -139,20 +194,37 @@ def summarize(counts: F1Counts, verbose: bool = True) -> dict:
 
 def evaluate(result_dir: str, scan2cad_path: str, scans_root: str,
              sequences: list[str], threshold: float = 0.25,
-             min_views: int = 1, verbose: bool = True) -> dict:
-    """Full protocol over a validation split (eval_scan2cad.py:307-354)."""
+             min_views: int = 1, verbose: bool = True,
+             vid2cad_csv: str | None = None,
+             box2cad_path: str | None = None) -> dict:
+    """Full protocol over a validation split (eval_scan2cad.py:307-354).
+
+    With ``vid2cad_csv`` (+ ``box2cad_path``), scores Vid2CAD CSV predictions
+    through the same matching path instead of our pickles — the reference's
+    comparison mode (eval_scan2cad.py:326-337).
+    """
     with open(scan2cad_path) as f:
         scan2cad = json.load(f)
-    predictions = load_predictions(result_dir, min_views)
-    counts = F1Counts()
     seq_set = set(sequences)
+    axis_aligns = {
+        scene: scannet.read_axis_align(
+            os.path.join(scans_root, scene, f"{scene}.txt")
+        )
+        for scene in seq_set
+    }
+    if vid2cad_csv is not None:
+        with open(box2cad_path) as f:
+            box2cad = json.load(f)
+        predictions = load_predictions_vid2cad(
+            vid2cad_csv, axis_aligns, box2cad, view_threshold=min_views
+        )
+    else:
+        predictions = load_predictions(result_dir, min_views)
+    counts = F1Counts()
     for scan in scan2cad:
         scene = scan["id_scan"]
         if scene not in predictions or scene not in seq_set:
             continue
-        axis_align = scannet.read_axis_align(
-            os.path.join(scans_root, scene, f"{scene}.txt")
-        )
-        gts = parse_scan2cad_annotations(scan, axis_align)
+        gts = parse_scan2cad_annotations(scan, axis_aligns[scene])
         match_sequence(counts, predictions[scene], gts, threshold)
     return summarize(counts, verbose)

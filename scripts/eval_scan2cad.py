@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--val_split", default="./data/ScanNet/scannetv2_val.txt")
     ap.add_argument("--threshold", type=float, default=0.25)
     ap.add_argument("--min_views", type=int, default=1)
+    ap.add_argument("--vid2cad_csv", default=None,
+                    help="score Vid2CAD CSV predictions instead of pickles")
+    ap.add_argument("--box2cad", default="./box2cad.json",
+                    help="CAD bbox-normalization table for --vid2cad_csv")
     args = ap.parse_args()
 
     with open(args.val_split) as f:
@@ -33,6 +37,7 @@ def main():
     scan2cad.evaluate(
         args.result_dir, args.scan2cad, args.scans_root, sequences,
         threshold=args.threshold, min_views=args.min_views,
+        vid2cad_csv=args.vid2cad_csv, box2cad_path=args.box2cad,
     )
 
 

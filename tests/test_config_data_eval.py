@@ -239,3 +239,63 @@ def test_stage_timer():
         pass
     s = st.summary()
     assert s["a"]["count"] == 2
+
+
+def test_vid2cad_loader(tmp_path):
+    """Vid2CAD CSV -> prediction schema (reference eval_scan2cad.py:148-188):
+    quaternion pose + box2cad scale folding + axis-align lift, header skipped,
+    non-cared classes and under-observed rows dropped."""
+    import jax.numpy as jnp
+
+    from odam_tpu.utils import geometry as geo
+    from odam_tpu.utils import host_boxes
+
+    theta = 0.7
+    dims = np.array([0.8, 0.5, 1.2])
+    t = np.array([1.0, 2.0, 0.5])
+    q = [np.cos(theta / 2), 0.0, 0.0, np.sin(theta / 2)]  # wxyz, about z
+    csv_s = dims * 2  # the loader halves it (then folds identity box2cad)
+
+    def row(scene, cat, cad, n_frames):
+        return ",".join(
+            [scene, cat, cad] + [f"{v}" for v in t] + [f"{v}" for v in q]
+            + [f"{v}" for v in csv_s] + ["0", str(n_frames), "0.9"]
+        )
+
+    csv_path = tmp_path / "vid2cad.csv"
+    csv_path.write_text(
+        "\n".join([
+            "scene,cat,id,tx,ty,tz,qw,qx,qy,qz,sx,sy,sz,_,nframes,score",
+            row("0000_00", "03001627", "abc", 25),   # kept
+            row("0000_00", "03001627", "abc", 3),    # below view threshold
+            row("0000_00", "99999999", "abc", 25),   # non-cared class
+        ])
+    )
+    box2cad = {"03001627_abc": np.eye(4).tolist()}
+    T_align = np.eye(4)
+    T_align[2, 3] = 1.0  # axis-align lifts everything by +1 z
+
+    preds = scan2cad.load_predictions_vid2cad(
+        str(csv_path), {"scene0000_00": T_align}, box2cad, view_threshold=10
+    )
+    assert list(preds) == ["scene0000_00"]
+    assert len(preds["scene0000_00"]) == 1
+    p = preds["scene0000_00"][0]
+    assert p["class"] == "03001627"
+
+    # GT offset by 1 cm: exactly-coincident rotated corners hit a (reference-
+    # parity) degeneracy in the self-clipping polygon IoU, and real
+    # predictions are never bit-identical to GT anyway.
+    gt_corners = np.asarray(
+        geo.box3d_corners(
+            jnp.asarray(dims), jnp.asarray(theta), jnp.asarray(t + [0.01, 0, 1.0])
+        )
+    ).astype(np.float64)
+    iou, _ = host_boxes.box3d_iou(gt_corners, np.asarray(p["bbox"], np.float64))
+    assert iou > 0.9
+
+    # same matching path as ours: F1 = 1 for the chair class
+    counts = scan2cad.F1Counts()
+    scan2cad.match_sequence(counts, preds["scene0000_00"], [("03001627", gt_corners)])
+    res = scan2cad.summarize(counts, verbose=False)
+    assert res["chair"]["f1"] == pytest.approx(1.0)
