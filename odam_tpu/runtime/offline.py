@@ -110,35 +110,10 @@ class CachedDetectionPipeline(proc_mod.OdamPipeline):
             det82 = proc_mod.lift_rows_to_world(
                 det79, det_valid, T_wc, img_w, img_h, cfg.no_code
             )
-
-            def init_branch(store):
-                slots = tracker.assign_new_slots(store, det_valid)
-                ok = det_valid & (slots >= 0)
-                return tracker.append_rows(store, det82, slots, ok), slots, ok
-
-            def assoc_branch(store):
-                tracks79 = proc_mod.prepare_track_inputs(
-                    store, T_wc, K, img_w, img_h, cfg.track_bbox_samples
-                )
-                out = assoc_apply(
-                    assoc_params, tracks79[None], store.active[None],
-                    det79[None], det_valid[None], jnp.asarray(cfg.match_threshold),
-                )
-                Z = out.log_assignment[0]
-                match = out.matches[0]
-                gate_row = jnp.where(match >= 0, match, store.capacity)
-                gate = jnp.exp(Z[gate_row, jnp.arange(match.shape[0])])
-                attach_ok = det_valid & (gate >= cfg.score_threshold)
-                is_new = attach_ok & (match < 0)
-                new_slots = tracker.assign_new_slots(store, is_new)
-                slots = jnp.where(match >= 0, match, new_slots)
-                ok = attach_ok & (slots >= 0)
-                return tracker.append_rows(store, det82, slots, ok), slots, ok
-
-            store, slots, attached = jax.lax.cond(
-                store.count > 0, assoc_branch, init_branch, store
+            store, log = proc_mod.update_tracks(
+                cfg, assoc_apply, assoc_params, store, log,
+                det79, det82, det_valid, T_wc, K, img_w, img_h,
             )
-            log = tracker.log_frame(log, det82, slots, attached)
             return proc_mod.FrameResult(
                 store=store, log=log,
                 n_detections=jnp.sum(det_valid.astype(jnp.int32)),
@@ -162,6 +137,9 @@ class CachedDetectionPipeline(proc_mod.OdamPipeline):
         )
         seq["store"] = result.store
         seq["log"] = result.log
+        seq["frames_in_log"] += 1
+        if seq["frames_in_log"] >= self.cfg.max_log_frames:
+            self._drain_log_chunk()
         return result
 
     def process_frame(self, *a, **k):  # pragma: no cover - guard

@@ -180,6 +180,66 @@ def prepare_track_inputs(store: tracker.TrackStore, T_wc: Array, K: Array,
     return jnp.where(slot_valid[..., None], out, -1.0)
 
 
+def update_tracks(cfg: PipelineConfig, assoc_apply, assoc_params,
+                  store: tracker.TrackStore, log: tracker.FrameLog,
+                  det79: Array, det82: Array, det_valid: Array,
+                  T_wc: Array, K: Array, img_w: Array, img_h: Array
+                  ) -> tuple[tracker.TrackStore, tracker.FrameLog]:
+    """Associate one frame's detections against the store and update it.
+
+    The shared tail of both the online and cached-detection steps: first
+    frame spawns tracks directly (processor.py:320-323); later frames run the
+    associator and gate attach/new-track on the Sinkhorn scores
+    (processor.py:209-257).  Slots matched this frame are protected from
+    capacity eviction; the observation log records global track ids.
+    """
+    T_cap = store.capacity
+
+    def init_branch(store):
+        store, slots = tracker.assign_new_slots(store, det_valid)
+        ok = det_valid & (slots >= 0)
+        return tracker.append_rows(store, det82, slots, ok), slots, ok
+
+    def assoc_branch(store):
+        tracks79 = prepare_track_inputs(
+            store, T_wc, K, img_w, img_h, cfg.track_bbox_samples
+        )
+        out = assoc_apply(
+            assoc_params, tracks79[None], store.active[None],
+            det79[None], det_valid[None], jnp.asarray(cfg.match_threshold),
+        )
+        Z = out.log_assignment[0]
+        match = out.matches[0]
+        # Unmatched detections are gated on the dustbin row — the reference's
+        # score_mat[-1, det] new-track gate (processor.py:226-229, 252-253).
+        gate_row = jnp.where(match >= 0, match, T_cap)
+        gate = jnp.exp(Z[gate_row, jnp.arange(match.shape[0])])
+        attach_ok = det_valid & (gate >= cfg.score_threshold)
+        is_new = attach_ok & (match < 0)
+        matched_mask = (
+            jnp.zeros((T_cap,), bool)
+            .at[jnp.where(match >= 0, match, T_cap)]
+            .set(True, mode="drop")
+        )
+        store, new_slots = tracker.assign_new_slots(
+            store, is_new, protected=matched_mask
+        )
+        slots = jnp.where(match >= 0, match, new_slots)
+        ok = attach_ok & (slots >= 0)
+        return tracker.append_rows(store, det82, slots, ok), slots, ok
+
+    store, slots, attached = jax.lax.cond(
+        store.count > 0, assoc_branch, init_branch, store
+    )
+    ids = jnp.where(
+        attached & (slots >= 0),
+        store.track_id[jnp.clip(slots, 0, T_cap - 1)],
+        -1,
+    )
+    log = tracker.log_frame(log, det82, ids)
+    return store, log
+
+
 class OdamPipeline:
     """Host driver around the jitted per-frame step.
 
@@ -239,40 +299,10 @@ class OdamPipeline:
             det79 = detection_rows_camera(dets, frame_id, img_w, img_h)
             det82 = lift_rows_to_world(det79, det_valid, T_wc, img_w, img_h,
                                        cfg.no_code)
-
-            def init_branch(store):
-                slots = tracker.assign_new_slots(store, det_valid)
-                ok = det_valid & (slots >= 0)
-                return tracker.append_rows(store, det82, slots, ok), slots, ok
-
-            def assoc_branch(store):
-                tracks79 = prepare_track_inputs(
-                    store, T_wc, K, img_w, img_h, cfg.track_bbox_samples
-                )
-                out = assoc_apply(
-                    assoc_params, tracks79[None], store.active[None],
-                    det79[None], det_valid[None],
-                    jnp.asarray(cfg.match_threshold),
-                )
-                Z = out.log_assignment[0]
-                match = out.matches[0]
-                T_cap = store.capacity
-                # Unmatched detections are gated on the dustbin row — the
-                # reference's score_mat[-1, det] new-track gate
-                # (processor.py:226-229, 252-253).
-                gate_row = jnp.where(match >= 0, match, T_cap)
-                gate = jnp.exp(Z[gate_row, jnp.arange(match.shape[0])])
-                attach_ok = det_valid & (gate >= cfg.score_threshold)
-                is_new = attach_ok & (match < 0)
-                new_slots = tracker.assign_new_slots(store, is_new)
-                slots = jnp.where(match >= 0, match, new_slots)
-                ok = attach_ok & (slots >= 0)
-                return tracker.append_rows(store, det82, slots, ok), slots, ok
-
-            store, slots, attached = jax.lax.cond(
-                store.count > 0, assoc_branch, init_branch, store
+            store, log = update_tracks(
+                cfg, assoc_apply, assoc_params, store, log,
+                det79, det82, det_valid, T_wc, K, img_w, img_h,
             )
-            log = tracker.log_frame(log, det82, slots, attached)
             return FrameResult(
                 store=store,
                 log=log,
@@ -301,6 +331,8 @@ class OdamPipeline:
             "T_wcs": [],
             "P_cws": [],
             "tracks_cache": None,
+            "history": {},           # global track id -> [list of row chunks]
+            "frames_in_log": 0,      # host-side log fill counter (no sync)
         }
 
     def process_frame(self, image: np.ndarray, frame_id: int,
@@ -327,17 +359,63 @@ class OdamPipeline:
         )
         seq["store"] = result.store
         seq["log"] = result.log
+        seq["frames_in_log"] += 1
+        if seq["frames_in_log"] >= self.cfg.max_log_frames:
+            self._drain_log_chunk()
         return result
+
+    def _drain_log_chunk(self) -> None:
+        """Pull the device log into host history and reset it.
+
+        Triggered by the host-side frame counter (no device sync needed to
+        decide), so scenes longer than ``max_log_frames`` lose nothing —
+        one bulk transfer per chunk instead of per-frame pulls.
+        """
+        seq = self.sequence
+        for tid, rows in tracker.drain_log(seq["log"]).items():
+            seq["history"].setdefault(tid, []).append(rows)
+        seq["log"] = tracker.init_log(self.cfg.max_log_frames, self.cfg.max_dets)
+        seq["frames_in_log"] = 0
 
     @property
     def tracks(self) -> list[np.ndarray]:
-        """Full per-track observation history (drains the device log once)."""
+        """Full per-track observation history: drained chunks + current log,
+        grouped by global track id in spawn order (matching the reference's
+        track-list append order)."""
         seq = self.sequence
         if seq["tracks_cache"] is None:
+            merged: dict[int, list] = {
+                tid: list(chunks) for tid, chunks in seq["history"].items()
+            }
+            for tid, rows in tracker.drain_log(seq["log"]).items():
+                merged.setdefault(tid, []).append(rows)
             seq["tracks_cache"] = [
-                t for t in tracker.drain_log(seq["log"]) if len(t) > 0
+                np.concatenate(chunks, axis=0)
+                for _, chunks in sorted(merged.items())
+                if sum(len(c) for c in chunks) > 0
             ]
         return seq["tracks_cache"]
+
+    def overflow_report(self, warn: bool = True) -> dict:
+        """Capacity counters for the sequence (one device pull).
+
+        Nonzero ``n_dropped`` / ``log_frames_lost`` mean observations were
+        lost; ``n_evicted`` means stale track fragments were recycled out of
+        the associator window (their history is preserved for mapping)."""
+        seq = self.sequence
+        report = {
+            "n_evicted": int(seq["store"].n_evicted),
+            "n_dropped": int(seq["store"].n_dropped),
+            "log_frames_lost": int(seq["log"].n_lost),
+            "n_track_ids": int(seq["store"].next_id),
+        }
+        if warn and (report["n_dropped"] or report["log_frames_lost"]):
+            import logging
+
+            logging.getLogger("OdamPipeline").warning(
+                "capacity overflow: %s", report
+            )
+        return report
 
     # -------------------------------------------------------------- mapping
     def optim_process(self, tracks: list[np.ndarray]) -> dict:
@@ -425,6 +503,8 @@ class OdamPipeline:
             "usable_frames": seq["usable_frames"],
             "T_wcs": seq["T_wcs"],
             "P_cws": seq["P_cws"],
+            "history": seq["history"],
+            "frames_in_log": seq["frames_in_log"],
         }
         with open(path, "wb") as f:
             pickle.dump(state, f)
@@ -443,3 +523,5 @@ class OdamPipeline:
         seq["usable_frames"] = list(state["usable_frames"])
         seq["T_wcs"] = list(state["T_wcs"])
         seq["P_cws"] = list(state["P_cws"])
+        seq["history"] = dict(state.get("history", {}))
+        seq["frames_in_log"] = int(state.get("frames_in_log", len(seq["usable_frames"])))

@@ -48,13 +48,84 @@ def test_store_window_roll():
     np.testing.assert_allclose(np.asarray(store.window[0, :, 0]), [2, 3, 4])
 
 
-def test_assign_new_slots_capacity():
+def _spawn(store, frame_id, n=1):
+    """Spawn n tracks at frame_id; returns (store, slots)."""
+    is_new = jnp.ones((n,), bool)
+    store, slots = tracker.assign_new_slots(store, is_new)
+    rows = np.full((n, 82), -1.0, np.float32)
+    rows[:, 0] = frame_id
+    store = tracker.append_rows(
+        store, jnp.asarray(rows), slots, jnp.ones((n,), bool)
+    )
+    return store, np.asarray(slots)
+
+
+def test_assign_new_slots_free_then_evict_lru():
     store = tracker.init_store(max_tracks=3, window=4)
-    store = store._replace(count=jnp.asarray(2, jnp.int32))
-    is_new = jnp.array([True, False, True, True])
-    slots = np.asarray(tracker.assign_new_slots(store, is_new))
-    # slots 2 assigned, then capacity exhausted
-    assert slots.tolist() == [2, -1, -1, -1]
+    store, s0 = _spawn(store, 10.0)
+    store, s1 = _spawn(store, 20.0)
+    assert s0.tolist() == [0] and s1.tolist() == [1]
+    assert np.asarray(store.track_id)[:2].tolist() == [0, 1]
+
+    # two more spawns: one free slot left, then LRU eviction of slot 0
+    store, slots = _spawn(store, 30.0, n=2)
+    assert slots.tolist() == [2, 0]          # slot 0 (frame 10) was LRU
+    assert int(store.n_evicted) == 1
+    assert int(store.n_dropped) == 0
+    # recycled slot carries a fresh global id and a clean window
+    assert np.asarray(store.track_id).tolist() == [3, 1, 2]
+    assert int(store.n_obs[0]) == 1
+    assert float(store.window[0, 0, 0]) == 30.0
+
+
+def test_assign_new_slots_protected_and_dropped():
+    store = tracker.init_store(max_tracks=2, window=4)
+    store, _ = _spawn(store, 1.0)
+    store, _ = _spawn(store, 2.0)
+    protected = jnp.array([True, True])
+    store, slots = tracker.assign_new_slots(
+        store, jnp.array([True, True]), protected=protected
+    )
+    assert np.asarray(slots).tolist() == [-1, -1]
+    assert int(store.n_dropped) == 2
+    assert int(store.n_evicted) == 0
+    # protecting only slot 1 -> slot 0 evicted for the first spawn
+    store2, slots2 = tracker.assign_new_slots(
+        store, jnp.array([True, False]), protected=jnp.array([False, True])
+    )
+    assert np.asarray(slots2).tolist() == [0, -1]
+    assert int(store2.n_evicted) == 1
+
+
+def test_frame_log_ids_survive_eviction_and_full_log():
+    """Observations logged under global ids are not lost when the slot is
+    recycled; a full log drops frames into n_lost instead of overwriting."""
+    log = tracker.init_log(max_frames=3, max_dets=2)
+    store = tracker.init_store(max_tracks=1, window=4)
+
+    def log_obs(store, log, frame_id):
+        is_new = jnp.array([True, False])  # one real det, one padding slot
+        store, slots = tracker.assign_new_slots(store, is_new)
+        rows = np.full((2, 82), -1.0, np.float32)
+        rows[0, 0] = frame_id
+        store = tracker.append_rows(store, jnp.asarray(rows), slots, is_new)
+        ids = jnp.where(
+            is_new & (slots >= 0), store.track_id[jnp.clip(slots, 0, 0)], -1
+        )
+        log = tracker.log_frame(log, jnp.asarray(rows), ids)
+        return store, log
+
+    for f in range(4):  # 4 spawns on a 1-slot store, 3-frame log
+        store, log = log_obs(store, log, float(f))
+
+    assert int(store.n_evicted) == 3
+    assert int(log.n_lost) == 1          # 4th frame didn't fit
+    tracks = tracker.drain_log(log)
+    # three distinct global ids, one observation each, nothing overwritten
+    assert sorted(tracks) == [0, 1, 2]
+    for tid, rows in tracks.items():
+        assert rows.shape == (1, 82)
+        assert rows[0, 0] == float(tid)
 
 
 def test_detection_row_lift_roundtrip():
@@ -220,3 +291,33 @@ def test_pipeline_end_to_end_synthetic():
     assert len(merged) >= 1
     out2 = pipe.optim_process(merged)
     assert len(out2["bboxes_qc"]) == len(merged)
+
+
+def test_chunked_log_drain_equivalence():
+    """A log capacity smaller than the scene (chunked drains) yields exactly
+    the same track histories as an oversized log — long scenes lose nothing."""
+    import dataclasses
+
+    K = np.array([[100.0, 0, 32], [0, 100, 32], [0, 0, 1]], np.float32)
+    rng = np.random.default_rng(2)
+    imgs = [rng.normal(size=(64, 64, 3)).astype(np.float32) for _ in range(5)]
+    poses = []
+    for f in range(5):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.05 * f, 0, 0]
+        poses.append(T)
+
+    def run(max_log_frames):
+        pipe = _tiny_pipeline()
+        pipe.cfg = dataclasses.replace(pipe.cfg, max_log_frames=max_log_frames)
+        pipe.init_sequence(K, 64, 64)
+        for f in range(5):
+            pipe.process_frame(imgs[f], f, poses[f])
+        return pipe.tracks, pipe.overflow_report(warn=False)
+
+    tracks_small, report_small = run(2)   # forces two mid-scene drains
+    tracks_big, report_big = run(100)
+    assert report_small["log_frames_lost"] == 0
+    assert len(tracks_small) == len(tracks_big) > 0
+    for a, b in zip(tracks_small, tracks_big):
+        np.testing.assert_allclose(a, b, atol=1e-6)
