@@ -102,13 +102,17 @@ def main() -> None:
 
     # Pass A: host-streamed frames (includes H2D over this environment's
     # tunneled host link — ~40 MB/s with high variance; a production TPU
-    # host link is 100x that).  Pass B: device-resident frames — the
-    # throughput the chip itself sustains for the full pipeline body.
+    # host link is 100x that).  The transfer of frame n+1 is issued while
+    # frame n computes (put_frame double-buffering), so the stream runs at
+    # max(link, compute) instead of link + compute.  Pass B: device-resident
+    # frames — the throughput the chip itself sustains for the pipeline body.
     fps_stream = 0.0
     for rep in range(2):
         t0 = time.time()
+        nxt = pipe.put_frame(frames[(2 + rep * n_frames) % 4])
         for f in range(2 + rep * n_frames, 2 + (rep + 1) * n_frames):
-            r = pipe.process_frame(frames[f % 4], f, pose(f))
+            cur, nxt = nxt, pipe.put_frame(frames[(f + 1) % 4])
+            r = pipe.process_frame(cur, f, pose(f))
         force(r.store.window)
         dt = time.time() - t0
         fps_stream = max(fps_stream, n_frames / dt)

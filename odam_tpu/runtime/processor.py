@@ -335,11 +335,26 @@ class OdamPipeline:
             "frames_in_log": 0,      # host-side log fill counter (no sync)
         }
 
+    @staticmethod
+    def put_frame(image):
+        """Start the (async) host->device transfer of a frame.
+
+        Call this for frame n+1 while frame n's step is in flight to overlap
+        H2D with compute (see data.loader.device_prefetch); ``process_frame``
+        accepts the returned device handle(s) directly.  No-op for arrays
+        already on device."""
+        import jax
+
+        if isinstance(image, tuple):
+            return tuple(jax.device_put(p) for p in image)
+        return jax.device_put(image)
+
     def process_frame(self, image: np.ndarray, frame_id: int,
                       T_wc: np.ndarray) -> FrameResult:
         """Run one frame. ``image`` is [H, W, 3] — uint8 (normalized on
-        device) or already-normalized float32.  Fully asynchronous: no
-        device->host synchronization happens here."""
+        device) or already-normalized float32, or the device handle(s) from
+        ``put_frame``.  Fully asynchronous: no device->host synchronization
+        happens here."""
         seq = self.sequence
         assert seq is not None, "call init_sequence first"
         seq["usable_frames"].append(int(frame_id))
@@ -348,10 +363,7 @@ class OdamPipeline:
         seq["P_cws"].append(seq["K"][:3, :3] @ np.linalg.inv(T_wc)[:3, :])
         seq["tracks_cache"] = None
 
-        if isinstance(image, tuple):
-            image_dev = tuple(jnp.asarray(p) for p in image)
-        else:
-            image_dev = jnp.asarray(image)
+        image_dev = self.put_frame(image)
         result = self._step(
             self.detr_params, self.assoc_params, seq["store"], seq["log"],
             image_dev, jnp.asarray(float(frame_id)),

@@ -188,10 +188,13 @@ def main():
             n_frames = len(fids)
             n_tracks = len(out["tracks"])
         else:
+            from odam_tpu.data.loader import device_prefetch
+
             n_frames = 0
-            for fid, img, T_cw in loader:
-                if np.isnan(T_cw).any():
-                    continue
+            usable = (
+                item for item in loader if not np.isnan(item[2]).any()
+            )  # NaN-pose frames skipped (run_processor.py:74-75)
+            for fid, img, T_cw in device_prefetch(usable):
                 pipe.process_frame(img, fid, axis_align @ np.linalg.inv(T_cw))
                 n_frames += 1
             n_tracks = len(pipe.tracks)

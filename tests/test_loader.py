@@ -86,3 +86,26 @@ def test_device_resize_pipeline():
     r = pipe.process_frame(raw, 1, np.eye(4, dtype=np.float32))
     jax.block_until_ready(r.store.window)
     assert int(r.log.count) == 2
+
+
+def test_device_prefetch_preserves_order_and_content():
+    import jax
+    import numpy as np
+
+    from odam_tpu.data.loader import device_prefetch
+
+    items = [(f, np.full((4, 4, 3), f, np.float32), np.eye(4) * (f + 1))
+             for f in range(5)]
+    out = list(device_prefetch(iter(items), lookahead=2))
+    assert [o[0] for o in out] == [0, 1, 2, 3, 4]
+    for f, img, T in out:
+        assert isinstance(img, jax.Array)
+        np.testing.assert_allclose(np.asarray(img), f)
+        np.testing.assert_allclose(T, np.eye(4) * (f + 1))
+
+    # tuple images (YUV transport) and empty iterators
+    assert list(device_prefetch(iter([]))) == []
+    y = np.zeros((4, 4), np.uint8)
+    uv = np.zeros((2, 2, 2), np.uint8)
+    out = list(device_prefetch(iter([(0, (y, uv), None)])))
+    assert isinstance(out[0][1], tuple) and isinstance(out[0][1][0], jax.Array)
