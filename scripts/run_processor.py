@@ -31,14 +31,19 @@ from odam_tpu import config as config_mod  # noqa: E402
 from odam_tpu.data import scannet, transforms  # noqa: E402
 
 
-def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16"):
+def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16",
+                 use_pallas=None):
     import jax
     import jax.numpy as jnp
 
     from odam_tpu.models import associator as assoc_mod, detr as detr_mod, porting
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
-    dcfg = detr_mod.DETRConfig.from_cfg(cfg, dtype=dtype)
+    if use_pallas is None:
+        # fused attention kernel by default on TPU (measured -21% encoder
+        # attention); the XLA path remains the CPU/debug default.
+        use_pallas = jax.default_backend() not in ("cpu",)
+    dcfg = detr_mod.DETRConfig.from_cfg(cfg, dtype=dtype, use_pallas=use_pallas)
     detr = detr_mod.DETR(dcfg)
     acfg = assoc_mod.AssociatorConfig.from_cfg(cfg, dtype=dtype)
     assoc = assoc_mod.Associator(acfg)
@@ -98,6 +103,8 @@ def main():
     ap.add_argument("--device_resize", action="store_true",
                     help="ship raw uint8 frames and resize+normalize on device")
     ap.add_argument("--prefetch_workers", type=int, default=2)
+    ap.add_argument("--use_pallas", choices=["auto", "on", "off"], default="auto",
+                    help="fused Pallas attention (auto: on for TPU)")
     ap.add_argument("--shard", default=None,
                     help="'i/n': process scenes i, i+n, i+2n, ... — shard a "
                          "val split across hosts/processes (outputs are "
@@ -110,7 +117,8 @@ def main():
 
     cfg = config_mod.merge_cfg([args.config_path])
     detr, dparams, assoc, aparams = build_models(
-        cfg, args.detector_ckpt, args.associator_ckpt, args.dtype
+        cfg, args.detector_ckpt, args.associator_ckpt, args.dtype,
+        use_pallas={"auto": None, "on": True, "off": False}[args.use_pallas],
     )
     pcfg = proc_mod.PipelineConfig(
         detect_threshold=args.detect_threshold,
