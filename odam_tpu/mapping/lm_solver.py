@@ -182,3 +182,94 @@ def optimize_superquadrics_lm(
         params=params, loss_log=loss_log, corners=corners,
         corners_detector=corners_det,
     )
+
+
+# ---------------------------------------------------------------------------
+# Envelope + auto-fallback
+# ---------------------------------------------------------------------------
+#
+# Measured envelope (tests/test_lm_solver.py::test_lm_robustness_sweep, 12-case
+# sweep of grazing cameras, narrow arcs, masked edges, extreme aspect ratios,
+# noise, short baselines): the LM path matches or beats the 200-iteration Adam
+# path (final oriented-3D-IoU within 0.05, often better — e.g. +0.13 on
+# below-object grazing rings) EXCEPT when
+#   (a) the observed-edge fraction is low (border-truncated boxes; LM loses
+#       ~0.05 IoU at 40% edges kept, ~0.10 at 20%), or
+#   (b) the object is extremely thin (min/max init dimension < ~0.1; the
+#       soft-extremes objective flattens the thin axis — -0.25 IoU on a
+#       1.5 x 1.4 x 0.08 near-planar object).
+# Both conditions are computable from the INPUTS, so the auto path routes
+# out-of-envelope objects to the reference-exact Adam solve up front.
+
+ENVELOPE_EDGE_FRAC_MIN = 0.5
+ENVELOPE_ASPECT_MIN = 0.12
+
+
+def lm_envelope_ok(init_params: sq.SQParams, box_mask: Array, view_mask: Array,
+                   edge_frac_min: float = ENVELOPE_EDGE_FRAC_MIN,
+                   aspect_min: float = ENVELOPE_ASPECT_MIN) -> Array:
+    """[O] bool — objects inside the measured LM-matches-Adam envelope."""
+    n_views = jnp.maximum(jnp.sum(view_mask, axis=-1), 1.0)
+    edge_frac = jnp.sum(box_mask * view_mask[..., None], axis=(-2, -1)) / (4.0 * n_views)
+    dims = 2.0 * init_params.scales ** 2
+    aspect = jnp.min(dims, axis=-1) / jnp.maximum(jnp.max(dims, axis=-1), 1e-6)
+    return (edge_frac >= edge_frac_min) & (aspect >= aspect_min)
+
+
+def optimize_superquadrics_auto(
+    init_params: sq.SQParams,
+    boxes: Array,
+    box_mask: Array,
+    view_mask: Array,
+    P_cw: Array,
+    optimize_mask: Array,
+    prior_invcov: Array | None = None,
+    *,
+    n_iters: int = 30,
+    n_samples: int = 512,
+    adam_iters: int = 200,
+    adam_samples: int = 1000,
+    representation: str = "super_quadric",
+    use_prior: bool = True,
+) -> OptimizeResult:
+    """LM for in-envelope objects, reference-exact Adam fallback outside it.
+
+    Runs the fast LM solve over the whole batch, then — only if any active
+    object falls outside the measured envelope (heavily masked edges or
+    near-degenerate aspect) — one batched Adam solve, taking the Adam result
+    for exactly those objects.  Typical scenes stay all-LM (one 0.2 s solve);
+    the fallback costs one extra Adam pass (~0.5 s), never a per-object loop.
+    """
+    from . import optimizer as adam_opt
+
+    res = optimize_superquadrics_lm(
+        init_params, boxes, box_mask, view_mask, P_cw, optimize_mask,
+        prior_invcov, n_iters=n_iters, n_samples=n_samples,
+        representation=representation, use_prior=use_prior,
+    )
+    ok = lm_envelope_ok(init_params, box_mask, view_mask)
+    fallback = optimize_mask & ~ok
+    if not bool(jnp.any(fallback)):
+        return res
+    res_adam = adam_opt.optimize_superquadrics(
+        init_params, boxes, box_mask, view_mask, P_cw, fallback,
+        prior_invcov, n_iters=adam_iters, n_samples=adam_samples,
+        representation=representation, use_prior=use_prior,
+    )
+
+    def pick(a, b, extra_dims):
+        m = fallback.reshape(fallback.shape + (1,) * extra_dims)
+        return jnp.where(m, a, b)
+
+    params = sq.SQParams(
+        translate=pick(res_adam.params.translate, res.params.translate, 1),
+        angle=pick(res_adam.params.angle, res.params.angle, 0),
+        scales=pick(res_adam.params.scales, res.params.scales, 1),
+        shapes=pick(res_adam.params.shapes, res.params.shapes, 1),
+    )
+    return OptimizeResult(
+        params=params,
+        loss_log=res.loss_log,
+        corners=pick(res_adam.corners, res.corners, 2),
+        corners_detector=res.corners_detector,
+    )

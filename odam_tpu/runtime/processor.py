@@ -454,9 +454,13 @@ class OdamPipeline:
         if cfg.optim_solver == "lm":
             from ..mapping import lm_solver
 
-            res = lm_solver.optimize_superquadrics_lm(
+            # LM with automatic Adam fallback for out-of-envelope objects
+            # (heavily border-masked edges / near-degenerate aspect —
+            # see lm_solver.lm_envelope_ok).
+            res = lm_solver.optimize_superquadrics_auto(
                 *solver_args,
                 n_iters=min(cfg.optim_iters, 40), n_samples=cfg.optim_samples,
+                adam_iters=cfg.optim_iters,
                 representation=cfg.representation, use_prior=cfg.use_prior,
             )
         else:
