@@ -72,6 +72,36 @@ def quadric_bbox(Q: Array, P: Array) -> Array:
     return -lines
 
 
+def plane_distance_residual(Q: Array, planes: Array, plane_mask: Array) -> Array:
+    """3D plane-tangency residual of a dual quadric (sq_libs.py:170-192).
+
+    For each plane [n (3), d_gt], the two offsets d1/d2 at which a plane with
+    normal n is tangent to the quadric are the roots of the tangency
+    condition pᵀ Q p = 0; the residual is min(|d_gt - d1|, |d_gt - d2|).
+    The reference computes this in ``constraint_3d`` but comments it out of
+    its own optimizer loop (weight 0, sq_libs.py:236-237) — provided here for
+    the full capability surface, off by default in :func:`fit_quadric`.
+
+    Args:
+        Q: [..., 4, 4] dual quadrics.
+        planes: [..., P, 4]; plane_mask: [..., P].
+
+    Returns:
+        [...] masked mean residual.
+    """
+    n = planes[..., :3]
+    d_gt = planes[..., 3]
+    t = -Q[..., :3, 3]
+    tn = 2.0 * jnp.einsum("...i,...pi->...p", t, n)
+    nQn = jnp.einsum("...pi,...ij,...pj->...p", n, Q[..., :3, :3], n)
+    B = jnp.sqrt(jnp.clip(tn ** 2 + 4.0 * nQn, min=0.0))
+    d1 = -(tn + B) / 2.0
+    d2 = -(tn - B) / 2.0
+    res = jnp.minimum(jnp.abs(d_gt - d1), jnp.abs(d_gt - d2))
+    res = jnp.where(jnp.isnan(res), 0.0, res) * plane_mask
+    return jnp.sum(res, axis=-1) / jnp.maximum(jnp.sum(plane_mask, axis=-1), 1.0)
+
+
 def decompose_quadric(Q: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
     """Recover (squared semi-axes, R, t, is_ellipsoid) from a dual quadric.
 
@@ -108,7 +138,7 @@ class QuadricFitResult(NamedTuple):
     loss_log: Array
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "plane_weight"))
 def fit_quadric(
     init_translate: Array,
     init_angle: Array,
@@ -116,20 +146,28 @@ def fit_quadric(
     lines: Array,
     line_mask: Array,
     Ms: Array,
+    planes: Array | None = None,
+    plane_mask: Array | None = None,
     *,
     n_iters: int = 500,
     lr: float = 0.01,
+    plane_weight: float = 0.0,
 ) -> QuadricFitResult:
     """Iteratively fit dual quadrics to 2D box-line constraints.
 
     Batched equivalent of QuadricOptimizer.run (sq_libs.py:194-241): the
     optimizable state is (translation, yaw, a global scale factor); loss is
-    masked L1 between the conic-bbox line constants and the observed ones.
+    masked L1 between the conic-bbox line constants and the observed ones,
+    optionally plus the 3D plane-tangency term (``plane_weight`` > 0 —
+    mirrors the reference's constraint_3d, which its own loop keeps at
+    weight 0, sq_libs.py:236-237).
 
     Args:
         init_translate: [O, 3]; init_angle: [O]; half_dims: [O, 3] (bbox/2).
         lines: [O, V, 4] observed line constants (-x_min, -y_min, -x_max, -y_max).
         line_mask: [O, V, 4]; Ms: [O, V, 3, 4].
+        planes: optional [O, P, 4] 3D plane constraints [normal, offset].
+        plane_mask: [O, P] validity of plane rows.
     """
     params = {
         "translate": init_translate,
@@ -145,7 +183,16 @@ def fit_quadric(
         l1 = jnp.abs(pred - lines)
         l1 = jnp.where(jnp.isnan(l1), 0.0, l1) * line_mask
         n_valid = jnp.maximum(jnp.sum(line_mask, axis=(-2, -1)), 1.0)
-        return jnp.sum(l1) / jnp.sum(jnp.maximum(n_valid, 1.0)), None
+        loss = jnp.sum(l1) / jnp.sum(jnp.maximum(n_valid, 1.0))
+        if planes is not None and plane_weight > 0.0:
+            pm = (
+                plane_mask if plane_mask is not None
+                else jnp.ones(planes.shape[:-1], planes.dtype)
+            )
+            loss = loss + plane_weight * jnp.mean(
+                plane_distance_residual(Q, planes, pm)
+            )
+        return loss, None
 
     tx = optax.adam(lr)
     state = tx.init(params)

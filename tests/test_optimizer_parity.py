@@ -218,3 +218,36 @@ def test_surface_points_match_reference(ref_sq_libs):
     )
     our_pts = np.asarray(sq.surface_points_world(params, n_samples=200))[0]
     np.testing.assert_allclose(our_pts, ref_pts, atol=1e-4)
+
+
+def test_plane_constraint_3d_parity(ref_sq_libs):
+    """Our dual-quadric plane-tangency residual equals the reference's
+    QuadricOptimizer.constraint_3d (sq_libs.py:170-192) on random quadrics."""
+    import jax.numpy as jnp
+    import torch
+
+    from odam_tpu.mapping import quadric as quad_mod
+
+    rng = np.random.default_rng(5)
+    t = rng.normal(size=3)
+    angle = rng.uniform(-np.pi, np.pi)
+    scale_sq = rng.uniform(0.2, 2.0, 3)
+    Q = np.asarray(quad_mod.quadric_matrix(
+        jnp.asarray(t, jnp.float32), jnp.asarray(np.float32(angle)),
+        jnp.asarray(scale_sq, jnp.float32),
+    ), np.float64)
+
+    P = 7
+    normals = rng.normal(size=(P, 3))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    planes = np.concatenate([normals, rng.normal(size=(P, 1))], axis=1)
+
+    ref = ref_sq_libs.QuadricOptimizer.constraint_3d(
+        None, torch.tensor(Q).float(), torch.tensor(planes).float()
+    )
+    ours = quad_mod.plane_distance_residual(
+        jnp.asarray(Q, jnp.float32)[None],
+        jnp.asarray(planes, jnp.float32)[None],
+        jnp.ones((1, P), jnp.float32),
+    )
+    np.testing.assert_allclose(float(ours[0]), float(ref), rtol=1e-4)
