@@ -1,0 +1,110 @@
+"""Write the synthetic val split to disk in the exact ScanNet + Scan2CAD
+layout the run_processor / eval_scan2cad CLIs consume.
+
+    PYTHONPATH=.:examples/cli_rehearsal python examples/cli_rehearsal/make_dataset.py [out_root]
+
+Produces under <out_root> (default examples/cli_rehearsal/data):
+    scans/sceneXXXX_00/frames/{color/*.jpg, pose/*.txt, intrinsic/intrinsic_color.txt}
+    scans/sceneXXXX_00/sceneXXXX_00.txt        (axisAlignment meta)
+    full_annotations.json                      (Scan2CAD GT)
+    val.txt                                    (split file)
+    rehearsal.yaml                             (tiny model config)
+"""
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from common import IMG, K, SCENES, scene_views  # noqa: E402
+from odam_tpu.mapping.prior import CLASS_MAPPER  # noqa: E402
+
+YAML = """\
+# tiny rehearsal config (matches examples/cli_rehearsal/common.py make_detr/make_assoc)
+backbone: "resnet50"
+position_embedding: 'sine'
+enc_layers: 2
+dec_layers: 2
+dim_feedforward: 256
+hidden_dim: 64
+dropout: 0.0
+nheads: 4
+num_queries: 12
+num_classes: 8
+pre_norm: False
+aux_loss: True
+dataset_file: "scan_net"
+masks: False
+dilation: False
+
+descriptor_dim: 64
+keypoint_encoder: [78, 64, 64]
+GNN_layers: ['self', 'cross', 'self', 'cross']
+self_GNN_layers: ['self']
+sinkhorn_iterations: 30
+match_threshold: 0.2
+
+dataset:
+  img_h: 128
+  img_w: 128
+"""
+
+
+def yaw_quat(yaw: float) -> list:
+    return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
+
+
+def main(root: str) -> None:
+    scans = os.path.join(root, "scans")
+    annotations = []
+    K44 = np.eye(4)
+    K44[:3, :3] = K
+    aa_line = "axisAlignment = " + " ".join(str(v) for v in np.eye(4).reshape(-1))
+
+    for scene_id, objects in SCENES.items():
+        base = os.path.join(scans, scene_id, "frames")
+        for sub in ("color", "pose", "intrinsic"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        np.savetxt(os.path.join(base, "intrinsic", "intrinsic_color.txt"), K44)
+        with open(os.path.join(scans, scene_id, f"{scene_id}.txt"), "w") as f:
+            f.write(aa_line + "\n")
+        for fid, T_wc, img, _ in scene_views(scene_id):
+            Image.fromarray(img).save(
+                os.path.join(base, "color", f"{fid}.jpg"), quality=95
+            )
+            np.savetxt(os.path.join(base, "pose", f"{fid}.txt"), T_wc)
+
+        annotations.append({
+            "id_scan": scene_id,
+            "trs": {"translation": [0, 0, 0], "rotation": [1, 0, 0, 0],
+                    "scale": [1, 1, 1]},
+            "aligned_models": [
+                {
+                    "catid_cad": CLASS_MAPPER[cls],
+                    "id_cad": f"synthetic_{i}",
+                    "trs": {"translation": [float(v) for v in c],
+                            "rotation": yaw_quat(yaw),
+                            "scale": [1.0, 1.0, 1.0]},
+                    "bbox": [float(v) for v in dims / 2],
+                }
+                for i, (c, dims, yaw, cls, _) in enumerate(objects)
+            ],
+        })
+
+    with open(os.path.join(root, "full_annotations.json"), "w") as f:
+        json.dump(annotations, f)
+    with open(os.path.join(root, "val.txt"), "w") as f:
+        f.write("\n".join(SCENES) + "\n")
+    with open(os.path.join(root, "rehearsal.yaml"), "w") as f:
+        f.write(YAML)
+    n = sum(len(os.listdir(os.path.join(scans, s, "frames", "color"))) for s in SCENES)
+    print(f"wrote {len(SCENES)} scenes, {n} frames, {IMG}x{IMG}, to {root}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else
+         os.path.join(os.path.dirname(__file__), "data"))

@@ -1,0 +1,157 @@
+"""Train the tiny rehearsal detector + associator from scratch (TPU).
+
+Crash-isolated segments with orbax resume (this environment's TPU worker can
+die under sustained training load; each segment picks up from the checkpoint):
+
+    for s in 0 1 2 3 4 5 6 7 8 9; do
+      python examples/cli_rehearsal/train.py detector $s 400 rehearsal_detr_ckpt
+    done
+    python examples/cli_rehearsal/train.py associator 0 400 rehearsal_assoc_ckpt
+
+The associator trains at the PIPELINE's input geometry — window 100,
+detections padded to 30 (padded det rows participate in attention, matching
+the reference collater) — so inference is in-distribution.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # this image's axon TPU plugin wins over the env var alone (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+from odam_tpu.utils import compile_cache, checkpoint  # noqa: E402
+
+compile_cache.enable()
+
+from common import IMG, SCENES, scene_views, make_detr, make_assoc, norm, gt_world_tracks  # noqa: E402
+
+
+def train_detector(seg: int, steps: int, ckpt: str) -> None:
+    from odam_tpu.models import criterion as crit_mod, training as train_mod
+    from odam_tpu.data.datasets import pack_targets
+
+    views = []
+    for scene_id in SCENES:
+        # two camera rings offset from the on-disk eval ring (phase 0.0)
+        for phase in (0.3, 0.65):
+            for _, _, img, rows in scene_views(scene_id, phase=phase):
+                if len(rows):
+                    views.append((img, rows))
+    model, cfg = make_detr()
+    if os.path.exists(ckpt):
+        # restore against abstract shapes: skips compiling the init program
+        # (~150 s through this environment's remote compiler)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, jnp.zeros((1, IMG, IMG, 3))), jax.random.key(0)
+        )
+        params = checkpoint.restore(ckpt, shapes)
+        print(f"resumed from {ckpt}")
+    else:
+        params = model.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)))
+    tcfg = train_mod.DetrTrainConfig(
+        lr=5e-4, lr_backbone=5e-4, clip_norm=5.0, weight_decay=0.0,
+        criterion=crit_mod.CriterionConfig(num_classes=cfg.num_classes),
+    )
+    tx = train_mod.make_detr_optimizer(params, tcfg)
+    state = train_mod.init_train_state(params, tx)
+    step_fn = train_mod.make_detr_train_step(model, tx, tcfg)
+    rng = np.random.default_rng(seg)
+    B = 8
+    t0 = time.time()
+    for it in range(steps):
+        idx = rng.integers(0, len(views), B)
+        imgs = np.stack([norm(views[i][0]) for i in idx])
+        targets = pack_targets([views[i][1] for i in idx], 8)
+        targets = crit_mod.Targets(*[jnp.asarray(x) for x in targets])
+        state, m = step_fn(state, jnp.asarray(imgs), targets,
+                           jax.random.key(seg * 10000 + it))
+        if (it + 1) % 300 == 0:
+            # bank progress: the TPU worker kernel-faults after a few hundred
+            # sustained train steps; a crashed segment keeps what it saved
+            checkpoint.save(ckpt, state.params)
+            print(f"  banked at step {it + 1}, loss {float(m['total']):.2f}",
+                  flush=True)
+    total = float(m["total"])  # forces completion
+    checkpoint.save(ckpt, state.params)
+    print(f"detector segment {seg}: {steps} steps in {time.time() - t0:.0f}s, "
+          f"loss {total:.2f}")
+
+
+def train_associator(seg: int, steps: int, ckpt: str) -> None:
+    import optax
+
+    from odam_tpu.data.datasets import build_association_sample
+    from odam_tpu.models import training as train_mod
+
+    T, N, W = 8, 30, 100  # pipeline geometry: dets padded to 30, window 100
+    samples = []
+    rng = np.random.default_rng(7)
+    for scene_id in SCENES:
+        for noise_seed in range(4):
+            tracks, poses = gt_world_tracks(
+                scene_id, np.random.default_rng(noise_seed), noise=0.03
+            )
+            for fid, T_wc in poses.items():
+                if fid == 0:
+                    continue
+                s = build_association_sample(
+                    tracks, float(fid), T, N, W,
+                    T_wc=T_wc, img_w=float(IMG), img_h=float(IMG),
+                )
+                if s is not None:
+                    P = 16  # pad variable-length gt pairs for batching
+                    pairs = np.zeros((P, 2), np.int32)
+                    valid = np.zeros((P,), bool)
+                    k = min(len(s["gt_pairs"]), P)
+                    pairs[:k] = s["gt_pairs"][:k]
+                    valid[:k] = True
+                    s["gt_pairs"], s["pair_valid"] = pairs, valid
+                    samples.append(s)
+    print(f"{len(samples)} association samples")
+
+    model, _ = make_assoc()
+    s0 = samples[0]
+    params = model.init(
+        jax.random.key(0),
+        jnp.asarray(s0["tracks"][None]), jnp.asarray(s0["track_mask"][None]),
+        jnp.asarray(s0["detections"][None]), jnp.asarray(s0["det_mask"][None]),
+    )
+    if os.path.exists(ckpt):
+        params = checkpoint.restore(ckpt, params)
+        print(f"resumed from {ckpt}")
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))
+    state = train_mod.init_train_state(params, tx)
+    step_fn = train_mod.make_assoc_train_step(model, tx)
+    B = 16
+    t0 = time.time()
+    for it in range(steps):
+        idx = rng.integers(0, len(samples), B)
+        batch = {
+            k: jnp.asarray(np.stack([samples[i][k] for i in idx]))
+            for k in ("tracks", "track_mask", "detections", "det_mask",
+                      "gt_pairs", "pair_valid")
+        }
+        state, loss = step_fn(state, *batch.values())
+    final = float(loss)
+    checkpoint.save(ckpt, state.params)
+    print(f"associator segment {seg}: {steps} steps in {time.time() - t0:.0f}s, "
+          f"nll {final:.3f}")
+
+
+if __name__ == "__main__":
+    kind, seg, steps, ckpt = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    ckpt = os.path.abspath(ckpt)
+    if kind == "detector":
+        train_detector(seg, steps, ckpt)
+    else:
+        train_associator(seg, steps, ckpt)

@@ -52,7 +52,10 @@ class DETRConfig:
                  use_pallas: bool = False) -> "DETRConfig":
         """Build from the reference YAML schema (configs/detr_scan_net.yaml)."""
         return cls(
-            num_classes=18 if cfg.get("dataset_file", "scan_net") == "scan_net" else 20,
+            num_classes=int(cfg.get(
+                "num_classes",
+                18 if cfg.get("dataset_file", "scan_net") == "scan_net" else 20,
+            )),
             num_queries=int(cfg.get("num_queries", 100)),
             hidden_dim=int(cfg.get("hidden_dim", 256)),
             nheads=int(cfg.get("nheads", 8)),
@@ -261,13 +264,20 @@ def postprocess(outputs: dict, img_w: Array, img_h: Array, threshold: Array,
         lambda c, s, t, d, b2, v: nms_3d_mask(c, s, t, d, b2, v, use_2d=use_nms_2d)
     )(classes, scores, t_co, dims, boxes, keep)
 
-    # Top-max_dets by score among the kept, static shape.
+    # Top-max_dets by score among the kept, static shape.  Models with fewer
+    # queries than max_dets still emit exactly max_dets slots (extra slots
+    # invalid) so downstream fixed-shape consumers (track store, frame log)
+    # always see the contracted width.
     sort_key = jnp.where(keep, -scores, jnp.inf)
-    order = jnp.argsort(sort_key, axis=-1)[:, :max_dets]  # [B, N]
+    order = jnp.argsort(sort_key, axis=-1)[:, :max_dets]  # [B, min(Q, N)]
+    valid = jnp.take_along_axis(keep, order, axis=1)
+    if order.shape[1] < max_dets:
+        pad = max_dets - order.shape[1]
+        order = jnp.pad(order, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
     take = lambda x: jnp.take_along_axis(  # noqa: E731
         x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1
     )
-    valid = jnp.take_along_axis(keep, order, axis=1)
     return Detections(
         valid=valid,
         classes=jnp.take_along_axis(classes, order, axis=1),

@@ -48,7 +48,14 @@ def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16",
     acfg = assoc_mod.AssociatorConfig.from_cfg(cfg, dtype=dtype)
     assoc = assoc_mod.Associator(acfg)
 
-    if detector_ckpt and os.path.exists(detector_ckpt):
+    if detector_ckpt and os.path.isdir(detector_ckpt):
+        # orbax directory: natively-trained flax weights
+        from odam_tpu.utils import checkpoint as ckpt_mod
+
+        dparams = detr.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        dparams = ckpt_mod.restore(detector_ckpt, dparams)
+        print(f"loaded detector weights (orbax) from {detector_ckpt}")
+    elif detector_ckpt and os.path.exists(detector_ckpt):
         dparams = porting.convert_detr(
             porting.load_torch_checkpoint(detector_ckpt),
             enc_layers=dcfg.enc_layers, dec_layers=dcfg.dec_layers,
@@ -58,7 +65,17 @@ def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16",
         print("WARNING: no detector checkpoint; using random init", file=sys.stderr)
         dparams = detr.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
 
-    if associator_ckpt and os.path.exists(associator_ckpt):
+    if associator_ckpt and os.path.isdir(associator_ckpt):
+        from odam_tpu.utils import checkpoint as ckpt_mod
+
+        aparams = assoc.init(
+            jax.random.key(1),
+            jnp.full((1, 4, 4, 79), -1.0), jnp.zeros((1, 4), bool),
+            jnp.full((1, 4, 79), -1.0), jnp.zeros((1, 4), bool),
+        )
+        aparams = ckpt_mod.restore(associator_ckpt, aparams)
+        print(f"loaded associator weights (orbax) from {associator_ckpt}")
+    elif associator_ckpt and os.path.exists(associator_ckpt):
         aparams = porting.convert_associator(
             porting.load_torch_checkpoint(associator_ckpt),
             d_model=acfg.descriptor_dim, n_gnn=len(acfg.gnn_layers),
@@ -105,6 +122,10 @@ def main():
     ap.add_argument("--prefetch_workers", type=int, default=2)
     ap.add_argument("--use_pallas", choices=["auto", "on", "off"], default="auto",
                     help="fused Pallas attention (auto: on for TPU)")
+    ap.add_argument("--short_side", type=int, default=800,
+                    help="inference resize: shorter side (reference: 800)")
+    ap.add_argument("--max_size", type=int, default=1333,
+                    help="inference resize: longest-side cap (reference: 1333)")
     ap.add_argument("--shard", default=None,
                     help="'i/n': process scenes i, i+n, i+2n, ... — shard a "
                          "val split across hosts/processes (outputs are "
@@ -157,7 +178,9 @@ def main():
             frames = frames[: args.max_frames]
 
         first = np.asarray(Image.open(index.image_path(seq_id, frames[0])))
-        ih, iw = transforms.target_size(*first.shape[:2])
+        ih, iw = transforms.target_size(
+            *first.shape[:2], short_side=args.short_side, max_size=args.max_size
+        )
         scale = np.array([iw / first.shape[1], ih / first.shape[0]])
         K_scaled = K.copy()
         K_scaled[0] *= scale[0]
