@@ -46,7 +46,7 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
                 if len(rows):
                     views.append((img, rows))
     model, cfg = make_detr()
-    if os.path.exists(ckpt):
+    if checkpoint.latest_path(ckpt):
         # restore against abstract shapes: skips compiling the init program
         # (~150 s through this environment's remote compiler)
         shapes = jax.eval_shape(
@@ -124,7 +124,7 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
         jnp.asarray(s0["tracks"][None]), jnp.asarray(s0["track_mask"][None]),
         jnp.asarray(s0["detections"][None]), jnp.asarray(s0["det_mask"][None]),
     )
-    if os.path.exists(ckpt):
+    if checkpoint.latest_path(ckpt):
         params = checkpoint.restore(ckpt, params)
         print(f"resumed from {ckpt}")
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-4))

@@ -13,17 +13,49 @@ import jax
 
 
 def save(path: str, tree: Any) -> None:
+    """Crash-safe checkpoint write.
+
+    orbax's ``force=True`` deletes the destination before committing the new
+    checkpoint, so a process killed mid-save (this environment's TPU worker
+    kernel-faults under sustained load) loses BOTH the old and new state.
+    Here the new checkpoint is written to ``<path>.tmp`` and swapped in with
+    renames; the previous checkpoint survives as ``<path>.bak`` until the
+    swap completes, and :func:`restore` falls back to it if a crash landed
+    between the renames.
+    """
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    tmp, bak = path + ".tmp", path + ".bak"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.tree.map(lambda x: x, tree), force=True)
+        ckptr.save(tmp, jax.tree.map(lambda x: x, tree), force=True)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    if os.path.exists(path):
+        os.rename(path, bak)
+    os.rename(tmp, path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+
+
+def latest_path(path: str) -> str | None:
+    """The newest intact checkpoint for ``path`` (itself, or its .bak/.tmp
+    left by an interrupted :func:`save`), or None."""
+    path = os.path.abspath(path)
+    for p in (path, path + ".bak", path + ".tmp"):
+        if os.path.isdir(p) and os.listdir(p):
+            return p
+    return None
 
 
 def restore(path: str, like: Any | None = None) -> Any:
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
+    path = latest_path(path) or os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if like is not None:
             return ckptr.restore(path, like)

@@ -230,3 +230,32 @@ def test_pallas_attention_matches_reference():
         jnp.asarray(kpm), interpret=True,
     ).reshape(B, Lq, H * dh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_checkpoint_save_is_crash_safe(tmp_path):
+    """A save interrupted after the old checkpoint was displaced must leave a
+    restorable state (.bak fallback) — orbax force=True alone deletes the
+    destination first, losing everything on a mid-save crash."""
+    import os
+
+    import jax.numpy as jnp
+
+    from odam_tpu.utils import checkpoint
+
+    path = str(tmp_path / "ckpt")
+    tree1 = {"w": jnp.ones((3,))}
+    tree2 = {"w": jnp.full((3,), 2.0)}
+    checkpoint.save(path, tree1)
+    assert checkpoint.latest_path(path) == path
+    checkpoint.save(path, tree2)
+    out = checkpoint.restore(path, tree1)
+    np.testing.assert_allclose(np.asarray(out["w"]), 2.0)
+
+    # simulate a crash between the two renames: main dir gone, .bak present
+    os.rename(path, path + ".bak2")  # clear main
+    import shutil
+    shutil.rmtree(path + ".bak", ignore_errors=True)
+    os.rename(path + ".bak2", path + ".bak")
+    assert checkpoint.latest_path(path) == path + ".bak"
+    out = checkpoint.restore(path, tree1)
+    np.testing.assert_allclose(np.asarray(out["w"]), 2.0)
