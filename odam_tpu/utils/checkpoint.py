@@ -53,9 +53,21 @@ def latest_path(path: str) -> str | None:
 
 
 def restore(path: str, like: Any | None = None) -> Any:
+    """Restore a checkpoint.  ``like`` may be a concrete pytree or an
+    abstract one from ``jax.eval_shape`` (restoring against shapes skips
+    compiling an init program); abstract leaves get a default single-device
+    sharding, which orbax requires."""
     import orbax.checkpoint as ocp
 
     path = latest_path(path) or os.path.abspath(path)
+    if like is not None:
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        like = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+            if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None
+            else x,
+            like,
+        )
     with ocp.StandardCheckpointer() as ckptr:
         if like is not None:
             return ckptr.restore(path, like)
