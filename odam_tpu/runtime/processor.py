@@ -44,6 +44,7 @@ class PipelineConfig:
     use_prior: bool = True
     no_code: bool = True
     track_bbox_samples: int = 1000  # surface samples for track re-projection
+    track_bbox_mode: str = "sampled"  # "sampled" (reference parity) | "exact"
     optim_solver: str = "adam"  # "adam" (reference-exact) | "lm" (fast GN/LM)
     optim_iters: int = 200
     optim_samples: int = 1000
@@ -127,7 +128,8 @@ def lift_rows_to_world(det79: Array, det_valid: Array, T_wc: Array,
 
 def prepare_track_inputs(store: tracker.TrackStore, T_wc: Array, K: Array,
                          img_w: Array, img_h: Array,
-                         n_samples: int = 1000) -> Array:
+                         n_samples: int = 1000,
+                         mode: str = "sampled") -> Array:
     """Build the [T, W, 79] associator input from the track store.
 
     Reference behavior (processor.py:133-207): refresh each track's projected
@@ -136,22 +138,37 @@ def prepare_track_inputs(store: tracker.TrackStore, T_wc: Array, K: Array,
     _prepare_tracks:199-203), overwrite the bbox columns of every window row
     with it (normalized, clipped to [-1, 2]), and re-encode world state into
     the current camera frame.
+
+    ``mode="sampled"`` mirrors the reference's 1000-point surface sampling of
+    the shapes=0 superellipsoid (squashed exponent 0.9, sq_libs.py:583);
+    ``mode="exact"`` replaces it with the closed-form dual-conic bounding box
+    of the mean-state ellipsoid (mapping.quadric) — the analytic bbox of the
+    epsilon=1 surface, within ~2% of the epsilon=0.9 sampled extremes but
+    with no [T, S, 3] surface pipeline at all.
     """
     T_cap, W, _ = store.window.shape
     t_mean, azi_mean, dims_mean = tracker.mean_state(store)
 
-    params = sq.SQParams(
-        translate=t_mean,
-        angle=azi_mean,
-        scales=jnp.sqrt(dims_mean / 2.0),
-        shapes=jnp.zeros((T_cap, 2), t_mean.dtype),  # ellipsoid mode
-    )
-    pts_w = sq.surface_points_world(params, n_samples)            # [T, S, 3]
     T_cw = geo.invert_se3(T_wc)
-    pts_c = geo.transform_points(T_cw, pts_w)
-    pix = jnp.einsum("ij,tsj->tsi", K, pts_c)
-    uv = pix[..., :2] / pix[..., 2:]                               # plain division
-    box = jnp.concatenate([jnp.min(uv, axis=1), jnp.max(uv, axis=1)], axis=-1)
+    if mode == "exact":
+        from ..mapping import quadric as quadric_mod
+
+        scale_sq = (dims_mean / 2.0) ** 2  # squared semi-axes (dims/2)^2
+        Q = quadric_mod.quadric_matrix(t_mean, azi_mean, scale_sq)  # [T, 4, 4]
+        P = jnp.einsum("ij,jk->ik", K, T_cw[:3, :])                 # [3, 4]
+        box = quadric_mod.quadric_bbox(Q, P)                        # [T, 4]
+    else:
+        params = sq.SQParams(
+            translate=t_mean,
+            angle=azi_mean,
+            scales=jnp.sqrt(dims_mean / 2.0),
+            shapes=jnp.zeros((T_cap, 2), t_mean.dtype),  # ellipsoid mode
+        )
+        pts_w = sq.surface_points_world(params, n_samples)        # [T, S, 3]
+        pts_c = geo.transform_points(T_cw, pts_w)
+        pix = jnp.einsum("ij,tsj->tsi", K, pts_c)
+        uv = pix[..., :2] / pix[..., 2:]                           # plain division
+        box = jnp.concatenate([jnp.min(uv, axis=1), jnp.max(uv, axis=1)], axis=-1)
     norm = jnp.stack([img_w, img_h, img_w, img_h]).astype(jnp.float32)
     box_n = jnp.clip(box / norm, -1.0, 2.0)                        # [T, 4]
 
@@ -202,7 +219,8 @@ def update_tracks(cfg: PipelineConfig, assoc_apply, assoc_params,
 
     def assoc_branch(store):
         tracks79 = prepare_track_inputs(
-            store, T_wc, K, img_w, img_h, cfg.track_bbox_samples
+            store, T_wc, K, img_w, img_h, cfg.track_bbox_samples,
+            cfg.track_bbox_mode,
         )
         out = assoc_apply(
             assoc_params, tracks79[None], store.active[None],

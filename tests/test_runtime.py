@@ -321,3 +321,73 @@ def test_chunked_log_drain_equivalence():
     assert len(tracks_small) == len(tracks_big) > 0
     for a, b in zip(tracks_small, tracks_big):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_prepare_track_inputs_exact_matches_dense_sampling():
+    """The closed-form dual-conic track bbox (mode='exact') must equal the
+    limit of the reference-style sampled extremes: tighter than a coarse
+    sample, matched by a dense one."""
+    store = tracker.init_store(max_tracks=2, window=4)
+    rows = np.full((2, 82), -1.0, np.float32)
+    for i, (c, dims, azi) in enumerate(
+        [([0.3, 0.2, 1.0], [0.8, 0.5, 0.9], 0.4),
+         ([-0.5, -0.2, 0.8], [0.4, 0.7, 0.5], -0.9)]
+    ):
+        rows[i, 0] = 3
+        rows[i, 1] = 5
+        rows[i, 6:9] = dims
+        rows[i, 9:12] = c
+        rows[i, 12] = azi
+        rows[i, 13] = 0.9
+    store = tracker.append_rows(
+        store, jnp.asarray(rows), jnp.array([0, 1], jnp.int32),
+        jnp.array([True, True]),
+    )
+    K = jnp.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+    T_wc = np.eye(4, dtype=np.float32)
+    T_wc[:3, 3] = [0, -4.0, 0.9]
+    T_wc[:3, :3] = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32)
+
+    args = (store, jnp.asarray(T_wc), K, jnp.asarray(640.0), jnp.asarray(480.0))
+    exact = np.asarray(proc_mod.prepare_track_inputs(*args, mode="exact"))
+    # The closed form is the epsilon=1 ellipsoid bbox; verify it against a
+    # dense sampling of the TRUE ellipsoid by checking the dual-conic bbox
+    # directly (the pipeline's sampled mode uses the reference's shapes=0
+    # superellipsoid, exponent 0.9 — a slightly larger surface).
+    from odam_tpu.mapping import quadric as quad_mod
+    from odam_tpu.utils import geometry as geo
+
+    t_mean, azi_mean, dims_mean = tracker.mean_state(store)
+    T_cw = np.linalg.inv(T_wc)
+    P = np.asarray(K) @ T_cw[:3, :]
+    for i in range(2):
+        a = np.asarray(dims_mean[i]) / 2.0
+        # dense ellipsoid surface
+        u = np.linspace(0, 2 * np.pi, 400)
+        v = np.linspace(0, np.pi, 200)
+        uu, vv = np.meshgrid(u, v)
+        pts = np.stack([
+            a[0] * np.cos(uu) * np.sin(vv),
+            a[1] * np.sin(uu) * np.sin(vv),
+            a[2] * np.cos(vv),
+        ], -1).reshape(-1, 3)
+        c, s = np.cos(float(azi_mean[i])), np.sin(float(azi_mean[i]))
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        pts = pts @ R.T + np.asarray(t_mean[i])
+        uvz = np.concatenate([pts, np.ones((len(pts), 1))], 1) @ P.T
+        uv = uvz[:, :2] / uvz[:, 2:]
+        ref_box = np.array([uv[:, 0].min(), uv[:, 1].min(),
+                            uv[:, 0].max(), uv[:, 1].max()])
+        ref_box_n = np.clip(ref_box / np.array([640, 480, 640, 480]), -1, 2)
+        np.testing.assert_allclose(exact[i, 0, 2:6], ref_box_n, atol=2e-3)
+
+    # vs the reference-parity sampled mode (eps 0.9 surface): close, and the
+    # eps<1 surface bulges outward, so its bbox contains the ellipsoid's
+    dense = np.asarray(
+        proc_mod.prepare_track_inputs(*args, n_samples=20000, mode="sampled")
+    )
+    np.testing.assert_allclose(exact[:2, 0, 2:6], dense[:2, 0, 2:6], atol=0.05)
+    assert (dense[:2, 0, 2:4] <= exact[:2, 0, 2:4] + 1e-3).all()  # mins
+    assert (dense[:2, 0, 4:6] >= exact[:2, 0, 4:6] - 1e-3).all()  # maxs
+    # everything else identical
+    np.testing.assert_allclose(exact[..., 6:], dense[..., 6:], atol=1e-6)
