@@ -269,14 +269,26 @@ def log_frame(log: FrameLog, rows: Array, ids: Array) -> FrameLog:
 def drain_log(log: FrameLog) -> dict[int, "np.ndarray"]:
     """One host pull: observation rows grouped by global track id.
 
-    Returns {track_id: [n_obs, 82] array}; ids ascend in spawn order."""
+    Returns {track_id: [n_obs, 82] array}; ids ascend in spawn order.
+    Vectorized grouping (stable sort by id, frame order preserved within
+    each id) — the naive per-entry Python loop costs seconds per drain at
+    6000 x 30 on a small host CPU.
+    """
     import numpy as np
 
     n = int(log.count)
-    rows = np.asarray(log.rows[:n])
-    ids = np.asarray(log.ids[:n])
-    out: dict[int, list] = {}
-    for f in range(n):
-        for i in np.nonzero(ids[f] >= 0)[0]:
-            out.setdefault(int(ids[f, i]), []).append(rows[f, i])
-    return {k: np.stack(v) for k, v in sorted(out.items())}
+    flat_ids = np.asarray(log.ids[:n]).reshape(-1)
+    flat_rows = np.asarray(log.rows[:n]).reshape(-1, TRACK_DIM)
+    keep = flat_ids >= 0
+    ids = flat_ids[keep]
+    rows = flat_rows[keep]
+    if len(ids) == 0:
+        return {}
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    rows = rows[order]
+    uniq, starts = np.unique(ids, return_index=True)
+    bounds = np.append(starts, len(ids))
+    return {
+        int(u): rows[bounds[i]:bounds[i + 1]] for i, u in enumerate(uniq)
+    }
