@@ -64,7 +64,7 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
     state = train_mod.init_train_state(params, tx)
     step_fn = train_mod.make_detr_train_step(model, tx, tcfg)
     rng = np.random.default_rng(seg)
-    B = 8
+    B = int(os.environ.get("ODAM_TRAIN_BATCH", "8"))
     t0 = time.time()
     for it in range(steps):
         idx = rng.integers(0, len(views), B)
@@ -73,7 +73,7 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
         targets = crit_mod.Targets(*[jnp.asarray(x) for x in targets])
         state, m = step_fn(state, jnp.asarray(imgs), targets,
                            jax.random.key(seg * 10000 + it))
-        if (it + 1) % 300 == 0:
+        if (it + 1) % int(os.environ.get("ODAM_BANK", "150")) == 0:
             # bank progress: the TPU worker kernel-faults after a few hundred
             # sustained train steps; a crashed segment keeps what it saved
             checkpoint.save(ckpt, state.params)
@@ -83,6 +83,159 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
     checkpoint.save(ckpt, state.params)
     print(f"detector segment {seg}: {steps} steps in {time.time() - t0:.0f}s, "
           f"loss {total:.2f}")
+
+
+class _DETRHead:
+    """Post-backbone DETR (transformer + heads) over cached features.
+
+    Param paths mirror odam_tpu.models.detr.DETR exactly (transformer,
+    input_proj, query_embed, class_embed, *_embed), so the trained subtree
+    grafts into the full model's params for inference.  Frozen-(random)-
+    backbone training is the limit case of the reference's 0.1x backbone lr;
+    it keeps the train step tiny enough for this environment (the TPU worker
+    kernel-faults on the full fwd+bwd; this head trains on the 1-core CPU).
+    """
+
+    def __init__(self, cfg):
+        import flax.linen as nn
+
+        from odam_tpu.models import position
+        from odam_tpu.models.detr import HeadMLP
+        from odam_tpu.models.transformer import Transformer
+
+        c = cfg
+
+        class Head(nn.Module):
+            @nn.compact
+            def __call__(self, feats):
+                B, fh, fw, _ = feats.shape
+                feat_mask = jnp.zeros((B, fh, fw), bool)
+                pos = position.sine_position_encoding(
+                    feat_mask, num_pos_feats=c.hidden_dim // 2, dtype=c.dtype
+                )
+                src = nn.Conv(c.hidden_dim, (1, 1), dtype=c.dtype,
+                              name="input_proj")(feats)
+                query_embed = self.param(
+                    "query_embed", nn.initializers.normal(1.0),
+                    (c.num_queries, c.hidden_dim),
+                )
+                hs, _ = Transformer(
+                    d_model=c.hidden_dim, num_heads=c.nheads,
+                    num_encoder_layers=c.enc_layers,
+                    num_decoder_layers=c.dec_layers,
+                    dim_feedforward=c.dim_feedforward, dropout=c.dropout,
+                    dtype=c.dtype, name="transformer",
+                )(src, feat_mask, query_embed, pos)
+                heads = {
+                    "pred_logits": nn.Dense(c.num_classes + 1, dtype=c.dtype,
+                                            name="class_embed")(hs),
+                    "pred_boxes": jax.nn.sigmoid(
+                        HeadMLP(c.hidden_dim, 4, dtype=c.dtype, name="bbox_embed")(hs)),
+                    "pred_offset": HeadMLP(c.hidden_dim, 2, dtype=c.dtype,
+                                           name="offset_embed")(hs),
+                    "pred_angle": HeadMLP(c.hidden_dim, c.num_angle_bins,
+                                          dtype=c.dtype, name="angle_embed")(hs),
+                    "pred_size": HeadMLP(c.hidden_dim, 3, dtype=c.dtype,
+                                         name="size_embed")(hs),
+                    "pred_depth": HeadMLP(c.hidden_dim, 1, dtype=c.dtype,
+                                          name="depth_embed")(hs),
+                }
+                out = {k: v[-1] for k, v in heads.items()}
+                out["aux_outputs"] = [
+                    {k: v[i] for k, v in heads.items()}
+                    for i in range(hs.shape[0] - 1)
+                ]
+                return out
+
+        self.module = Head()
+
+
+def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
+    """Train transformer+heads on cached frozen-backbone features (CPU-friendly)."""
+    import optax
+
+    from odam_tpu.models import criterion as crit_mod, resnet
+    from odam_tpu.data.datasets import pack_targets
+
+    model, cfg = make_detr()
+    full = model.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)))
+    if checkpoint.latest_path(ckpt):
+        full = checkpoint.restore(ckpt, full)
+        print(f"resumed from {ckpt}")
+
+    # cache backbone features for every train view (one-time inference)
+    feat_cache = os.path.join(os.path.dirname(ckpt), "rehearsal_feats.npz")
+    views = []
+    for scene_id in SCENES:
+        for phase in (0.3, 0.65):
+            for _, _, img, rows in scene_views(scene_id, phase=phase):
+                if len(rows):
+                    views.append((img, rows))
+    if os.path.exists(feat_cache):
+        feats = np.load(feat_cache)["feats"]
+    else:
+        backbone = resnet.ResNet(
+            stage_sizes=resnet.RESNET50_STAGES, return_stages=(4,),
+            dtype=jnp.float32,
+        )
+        bb_params = {"params": full["params"]["backbone"]}
+        fwd = jax.jit(lambda imgs: backbone.apply(bb_params, imgs)[4])
+        outs = []
+        for start in range(0, len(views), 16):
+            imgs = np.stack([norm(v[0]) for v in views[start:start + 16]])
+            outs.append(np.asarray(fwd(jnp.asarray(imgs))))
+        feats = np.concatenate(outs)
+        np.savez(feat_cache, feats=feats)
+        print(f"cached {feats.shape} backbone features")
+
+    head = _DETRHead(cfg).module
+    head_params = {
+        "params": {
+            k: full["params"][k] for k in full["params"] if k != "backbone"
+        }
+    }
+    tcfg = crit_mod.CriterionConfig(num_classes=cfg.num_classes)
+    lr = float(os.environ.get("ODAM_LR", "5e-4"))
+    decay_steps = int(os.environ.get("ODAM_DECAY_STEPS", "0"))
+    sched = (
+        optax.cosine_decay_schedule(lr, decay_steps, alpha=0.02)
+        if decay_steps else lr
+    )
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
+    opt_state = tx.init(head_params)
+
+    def loss_fn(p, f, targets):
+        out = head.apply(p, f)
+        total, metrics = crit_mod.set_criterion(out, targets, tcfg)
+        return total, metrics
+
+    @jax.jit
+    def step_fn(p, s, f, targets):
+        (total, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(p, f, targets)
+        upd, s = tx.update(g, s, p)
+        return optax.apply_updates(p, upd), s, total
+
+    def merged():
+        return {"params": {**head_params["params"],
+                           "backbone": full["params"]["backbone"]}}
+
+    rng = np.random.default_rng(seg)
+    B = int(os.environ.get("ODAM_TRAIN_BATCH", "8"))
+    t0 = time.time()
+    for it in range(steps):
+        idx = rng.integers(0, len(views), B)
+        f = jnp.asarray(feats[idx])
+        targets = crit_mod.Targets(*[
+            jnp.asarray(x) for x in pack_targets([views[i][1] for i in idx], 8)
+        ])
+        head_params, opt_state, total = step_fn(head_params, opt_state, f, targets)
+        if (it + 1) % int(os.environ.get("ODAM_BANK", "500")) == 0:
+            checkpoint.save(ckpt, merged())
+            print(f"  banked at step {it + 1}, loss {float(total):.2f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    checkpoint.save(ckpt, merged())
+    print(f"frozen-head segment {seg}: {steps} steps in {time.time() - t0:.0f}s, "
+          f"loss {float(total):.2f}")
 
 
 def train_associator(seg: int, steps: int, ckpt: str) -> None:
@@ -153,5 +306,7 @@ if __name__ == "__main__":
     ckpt = os.path.abspath(ckpt)
     if kind == "detector":
         train_detector(seg, steps, ckpt)
+    elif kind == "detector_frozen":
+        train_detector_frozen(seg, steps, ckpt)
     else:
         train_associator(seg, steps, ckpt)

@@ -9,8 +9,16 @@
 """
 from __future__ import annotations
 
-import argparse
 import os
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin wins over the env var alone (CLAUDE.md);
+    # honor an explicit CPU request before any backend use
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import argparse
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
