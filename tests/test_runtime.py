@@ -391,3 +391,50 @@ def test_prepare_track_inputs_exact_matches_dense_sampling():
     assert (dense[:2, 0, 4:6] >= exact[:2, 0, 4:6] - 1e-3).all()  # maxs
     # everything else identical
     np.testing.assert_allclose(exact[..., 6:], dense[..., 6:], atol=1e-6)
+
+
+def test_capacity_stress_scannet_scale():
+    """200 track fragments through a 64-slot store + small log with chunked
+    drains: every observation must survive to the mapping input, eviction
+    counters must account exactly, and nothing is dropped."""
+    T_cap, N = 64, 4
+    store = tracker.init_store(max_tracks=T_cap, window=8)
+    log = tracker.init_log(max_frames=50, max_dets=N)
+    history = {}
+    total_obs = 0
+    rng = np.random.default_rng(0)
+
+    def drain_into_history(log):
+        for tid, rows in tracker.drain_log(log).items():
+            history.setdefault(tid, []).append(rows)
+        return tracker.init_log(max_frames=50, max_dets=N)
+
+    frames_in_log = 0
+    for f in range(120):  # 120 frames x up to 4 spawns -> ~200+ fragments
+        n_new = int(rng.integers(1, N + 1))
+        is_new = jnp.arange(N) < n_new
+        store, slots = tracker.assign_new_slots(store, is_new)
+        rows = np.full((N, 82), -1.0, np.float32)
+        rows[:, 0] = f
+        rows[:, 9:12] = rng.normal(size=(N, 3))
+        ok = np.asarray(is_new) & (np.asarray(slots) >= 0)
+        store = tracker.append_rows(store, jnp.asarray(rows), slots, jnp.asarray(ok))
+        ids = jnp.where(
+            jnp.asarray(ok), store.track_id[jnp.clip(slots, 0, T_cap - 1)], -1
+        )
+        log = tracker.log_frame(log, jnp.asarray(rows), ids)
+        total_obs += int(ok.sum())
+        frames_in_log += 1
+        if frames_in_log == 50:
+            log = drain_into_history(log)
+            frames_in_log = 0
+    drain_into_history(log)
+
+    n_ids = int(store.next_id)
+    assert n_ids > T_cap  # far beyond capacity
+    assert int(store.n_dropped) == 0
+    assert int(store.n_evicted) == n_ids - T_cap
+    # every observation of every fragment is in the history, none lost
+    recovered = sum(sum(len(c) for c in chunks) for chunks in history.values())
+    assert recovered == total_obs == n_ids  # one obs per spawned fragment
+    assert len(history) == n_ids
