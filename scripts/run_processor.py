@@ -40,7 +40,7 @@ from odam_tpu.data import scannet, transforms  # noqa: E402
 
 
 def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16",
-                 use_pallas=None):
+                 use_pallas=None, decode="exact"):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +53,11 @@ def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16",
         use_pallas = jax.default_backend() not in ("cpu",)
     dcfg = detr_mod.DETRConfig.from_cfg(cfg, dtype=dtype, use_pallas=use_pallas)
     detr = detr_mod.DETR(dcfg)
-    acfg = assoc_mod.AssociatorConfig.from_cfg(cfg, dtype=dtype)
+    import dataclasses as _dc
+
+    acfg = _dc.replace(
+        assoc_mod.AssociatorConfig.from_cfg(cfg, dtype=dtype), decode=decode
+    )
     assoc = assoc_mod.Associator(acfg)
 
     if detector_ckpt and os.path.isdir(detector_ckpt):
@@ -130,6 +134,11 @@ def main():
     ap.add_argument("--prefetch_workers", type=int, default=2)
     ap.add_argument("--use_pallas", choices=["auto", "on", "off"], default="auto",
                     help="fused Pallas attention (auto: on for TPU)")
+    ap.add_argument("--profile", choices=["parity", "fast"], default="parity",
+                    help="parity: exact Hungarian + sampled track projection "
+                         "(reference semantics); fast: greedy decode + "
+                         "closed-form projection (~23%% higher fps, "
+                         "equivalence-tested)")
     ap.add_argument("--short_side", type=int, default=800,
                     help="inference resize: shorter side (reference: 800)")
     ap.add_argument("--max_size", type=int, default=1333,
@@ -145,9 +154,11 @@ def main():
     from odam_tpu.runtime import processor as proc_mod
 
     cfg = config_mod.merge_cfg([args.config_path])
+    fast = args.profile == "fast"
     detr, dparams, assoc, aparams = build_models(
         cfg, args.detector_ckpt, args.associator_ckpt, args.dtype,
         use_pallas={"auto": None, "on": True, "off": False}[args.use_pallas],
+        decode="greedy" if fast else "exact",
     )
     pcfg = proc_mod.PipelineConfig(
         detect_threshold=args.detect_threshold,
@@ -155,6 +166,7 @@ def main():
         use_prior=args.use_prior,
         no_code=args.no_code,
         resize_on_device=args.device_resize,
+        track_bbox_mode="exact" if fast else "sampled",
     )
     pipe = proc_mod.OdamPipeline(detr, dparams, assoc, aparams, pcfg)
 
