@@ -82,14 +82,28 @@ def eval_det_cls(predictions: dict, gts: dict, iou_threshold: float = 0.25,
     return final_r, final_p, ap
 
 
-def eval_det(all_predictions: dict, all_gts: dict, iou_threshold: float = 0.25
-             ) -> dict[int, dict]:
+def _eval_det_cls_task(task: tuple) -> tuple[int, tuple[float, float, float]]:
+    """Picklable per-class worker for the multiprocessing path
+    (the reference's eval_det_cls_wrapper, eval_utils.py:179-182)."""
+    cls, preds, gts, iou_threshold = task
+    return cls, eval_det_cls(preds, gts, iou_threshold)
+
+
+def eval_det(all_predictions: dict, all_gts: dict, iou_threshold: float = 0.25,
+             n_workers: int = 1) -> dict[int, dict]:
     """Multi-class detection evaluation (eval_utils.py:185-235).
+
+    With ``n_workers > 1``, classes are scored by a ``multiprocessing.Pool``
+    — the reference's eval_det_multiprocessing variant
+    (eval_utils.py:238-284).  Single-core hosts are auto-gated to the serial
+    path (a Pool on one core only adds fork overhead).
 
     Args:
         all_predictions: {scene: [(class, aabb, score)]}.
         all_gts: {scene: [(class, aabb)]}.
     """
+    import os
+
     per_class_pred: dict[int, dict] = defaultdict(dict)
     per_class_gt: dict[int, dict] = defaultdict(dict)
     for scene, preds in all_predictions.items():
@@ -99,15 +113,26 @@ def eval_det(all_predictions: dict, all_gts: dict, iou_threshold: float = 0.25
         for cls, box in boxes:
             per_class_gt[cls].setdefault(scene, []).append(box)
 
-    out = {}
+    tasks = []
     for cls in per_class_gt:
         preds = per_class_pred.get(cls, {})
         # scenes with GT but no predictions still count toward recall
         for scene in per_class_gt[cls]:
             preds.setdefault(scene, [])
-        r, p, ap = eval_det_cls(preds, per_class_gt[cls], iou_threshold)
-        out[cls] = {"recall": r, "precision": p, "ap": ap}
-    return out
+        tasks.append((cls, preds, per_class_gt[cls], iou_threshold))
+
+    n_workers = min(n_workers, os.cpu_count() or 1, max(len(tasks), 1))
+    if n_workers > 1:
+        import multiprocessing
+
+        with multiprocessing.Pool(n_workers) as pool:
+            results = pool.map(_eval_det_cls_task, tasks)
+    else:
+        results = [_eval_det_cls_task(t) for t in tasks]
+    return {
+        cls: {"recall": r, "precision": p, "ap": ap}
+        for cls, (r, p, ap) in results
+    }
 
 
 def alignment_accuracy(pred_t: np.ndarray, pred_R: np.ndarray, pred_s: np.ndarray,

@@ -115,6 +115,10 @@ def load_predictions_vid2cad(csv_path: str, axis_align_matrices: dict,
         rows = list(csv.reader(f, delimiter=","))
     for row in rows[1:]:  # first line is the header (eval_scan2cad.py:152)
         scan_id = f"scene{row[0]}"
+        if scan_id not in axis_align_matrices:
+            # The reference always passes the full val split; this API accepts
+            # subsets, so rows for out-of-split scenes are skipped, not fatal.
+            continue
         predictions.setdefault(scan_id, [])
         catid_cad = row[1]
         if catid_cad not in CARE_CLASSES:
@@ -206,12 +210,17 @@ def evaluate(result_dir: str, scan2cad_path: str, scans_root: str,
     with open(scan2cad_path) as f:
         scan2cad = json.load(f)
     seq_set = set(sequences)
-    axis_aligns = {
-        scene: scannet.read_axis_align(
-            os.path.join(scans_root, scene, f"{scene}.txt")
-        )
-        for scene in seq_set
-    }
+    axis_aligns = {}
+    for scene in sorted(seq_set):
+        meta = os.path.join(scans_root, scene, f"{scene}.txt")
+        if os.path.exists(meta):
+            axis_aligns[scene] = scannet.read_axis_align(meta)
+        else:
+            # Tolerate partial scans_root (e.g. eval over a subset of the
+            # split): scenes without meta can't be scored, but shouldn't
+            # crash the scenes that can be.
+            print(f"warning: missing axis-align meta for {scene}; skipping")
+            seq_set.discard(scene)
     if vid2cad_csv is not None:
         with open(box2cad_path) as f:
             box2cad = json.load(f)

@@ -188,21 +188,29 @@ def optimize_superquadrics_lm(
 # Envelope + auto-fallback
 # ---------------------------------------------------------------------------
 #
-# Measured envelope (tests/test_lm_solver.py::test_lm_robustness_sweep, 12-case
-# sweep of grazing cameras, narrow arcs, masked edges, extreme aspect ratios,
-# noise, short baselines): the LM path matches or beats the 200-iteration Adam
-# path (final oriented-3D-IoU within 0.05, often better — e.g. +0.13 on
-# below-object grazing rings) EXCEPT when
-#   (a) the observed-edge fraction is low (border-truncated boxes; LM loses
-#       ~0.05 IoU at 40% edges kept, ~0.10 at 20%), or
-#   (b) the object is extremely thin (min/max init dimension < ~0.1; the
-#       soft-extremes objective flattens the thin axis — -0.25 IoU on a
-#       1.5 x 1.4 x 0.08 near-planar object).
-# Both conditions are computable from the INPUTS, so the auto path routes
-# out-of-envelope objects to the reference-exact Adam solve up front.
+# Measured envelope.  Round 2 derived thresholds from a 12-case qualitative
+# sweep (tests/test_lm_solver.py::test_lm_robustness_sweep); round 3
+# densified the boundary with a 50-case edge_frac x aspect grid at several
+# view counts (scripts/lm_envelope_sweep.py, worst-over-seeds IoU delta
+# LM - Adam):
+#
+#   n_views=10:  aspect<=0.12 & edge_frac<=0.5 -> deltas -0.22..-0.43
+#                (catastrophic); edge_frac>=0.5 & aspect>=0.16 -> worst
+#                -0.013, typically +-0.02;
+#   n_views=24:  aspect 0.06 still -0.41..-0.44 regardless of edge_frac;
+#                aspect>=0.09 mostly within +-0.05 (sporadic -0.06..-0.09
+#                cells — thin-object IoU noise, not systematic);
+#   n_views=48:  no systematic structure, deltas +-0.07.
+#
+# Conclusions: (a) thin objects are the dominant failure — the round-2
+# aspect threshold 0.12 was WRONG at its boundary (LM loses ~0.25 IoU at
+# aspect 0.12 with few views); raised to 0.16.  (b) the edge-fraction
+# threshold 0.5 is confirmed at low view counts and conservative at high
+# ones.  Both conditions are computable from the INPUTS, so the auto path
+# routes out-of-envelope objects to the reference-exact Adam solve up front.
 
 ENVELOPE_EDGE_FRAC_MIN = 0.5
-ENVELOPE_ASPECT_MIN = 0.12
+ENVELOPE_ASPECT_MIN = 0.16
 
 
 def lm_envelope_ok(init_params: sq.SQParams, box_mask: Array, view_mask: Array,
@@ -234,21 +242,26 @@ def optimize_superquadrics_auto(
 ) -> OptimizeResult:
     """LM for in-envelope objects, reference-exact Adam fallback outside it.
 
-    Runs the fast LM solve over the whole batch, then — only if any active
-    object falls outside the measured envelope (heavily masked edges or
+    Runs the fast LM solve over the in-envelope objects, then — only if any
+    active object falls outside the measured envelope (heavily masked edges or
     near-degenerate aspect) — one batched Adam solve, taking the Adam result
     for exactly those objects.  Typical scenes stay all-LM (one 0.2 s solve);
     the fallback costs one extra Adam pass (~0.5 s), never a per-object loop.
+
+    The returned ``loss_log`` is the LM pass's per-iteration total over the
+    in-envelope objects only — fallback objects are excluded from the LM
+    solve entirely, so the trace always corresponds to the returned LM
+    solutions (the Adam pass's convergence trace is not returned).
     """
     from . import optimizer as adam_opt
 
+    ok = lm_envelope_ok(init_params, box_mask, view_mask)
+    fallback = optimize_mask & ~ok
     res = optimize_superquadrics_lm(
-        init_params, boxes, box_mask, view_mask, P_cw, optimize_mask,
+        init_params, boxes, box_mask, view_mask, P_cw, optimize_mask & ok,
         prior_invcov, n_iters=n_iters, n_samples=n_samples,
         representation=representation, use_prior=use_prior,
     )
-    ok = lm_envelope_ok(init_params, box_mask, view_mask)
-    fallback = optimize_mask & ~ok
     if not bool(jnp.any(fallback)):
         return res
     res_adam = adam_opt.optimize_superquadrics(

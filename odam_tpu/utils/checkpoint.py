@@ -42,12 +42,29 @@ def save(path: str, tree: Any) -> None:
         shutil.rmtree(bak)
 
 
+def _committed(p: str) -> bool:
+    """True iff ``p`` is a fully-written orbax checkpoint dir.  orbax writes
+    ``_CHECKPOINT_METADATA`` at commit time, so its presence distinguishes a
+    complete ``.tmp`` from one truncated by a crash mid-save."""
+    return os.path.isdir(p) and os.path.exists(
+        os.path.join(p, "_CHECKPOINT_METADATA")
+    )
+
+
 def latest_path(path: str) -> str | None:
-    """The newest intact checkpoint for ``path`` (itself, or its .bak/.tmp
-    left by an interrupted :func:`save`), or None."""
+    """The newest intact checkpoint for ``path`` (itself, or the .tmp/.bak
+    left by an interrupted :func:`save`), or None.
+
+    Order matters: :func:`save` fully writes ``.tmp`` *before* the rename
+    dance, so a committed ``.tmp`` is always the newest state (a crash landed
+    between the write and the swap); ``path`` itself is next; ``.bak`` (the
+    pre-save state) is the oldest.  Uncommitted dirs (no orbax commit marker)
+    are skipped entirely — handing a truncated ``.tmp`` to orbax restore
+    fails with a confusing internal error.
+    """
     path = os.path.abspath(path)
-    for p in (path, path + ".bak", path + ".tmp"):
-        if os.path.isdir(p) and os.listdir(p):
+    for p in (path + ".tmp", path, path + ".bak"):
+        if _committed(p):
             return p
     return None
 

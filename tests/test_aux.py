@@ -213,6 +213,78 @@ def test_flash_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+def test_mha_core_routes_long_windows_to_flash(monkeypatch):
+    """use_pallas=True must route key sequences >= FLASH_MIN_KEYS through
+    the streaming flash kernel (the long-track-window fuser path, lifting
+    the reference's 100-step bound, processor.py:133) and shorter ones
+    through the single-tile fused kernel — with identical numerics."""
+    from odam_tpu.ops import attention, pallas_attention
+
+    calls = []
+    orig_flash = pallas_attention.flash_attention
+    orig_fused = pallas_attention.fused_attention
+    monkeypatch.setattr(
+        pallas_attention, "flash_attention",
+        lambda *a, **k: calls.append("flash") or orig_flash(*a, **k))
+    monkeypatch.setattr(
+        pallas_attention, "fused_attention",
+        lambda *a, **k: calls.append("fused") or orig_fused(*a, **k))
+
+    rng = np.random.default_rng(2)
+    H, dh = 2, 16
+    for Lk, expect in ((400, "flash"), (100, "fused")):
+        B, Lq = 3, Lk
+        q = jnp.asarray(rng.normal(size=(B, Lq, H * dh)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, Lk, H * dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, Lk, H * dh)).astype(np.float32))
+        kpm = np.zeros((B, Lk), bool)
+        kpm[:, -9:] = True
+        ref = attention.mha_core(q, k, v, H, jnp.asarray(kpm))
+        calls.clear()
+        out = attention.mha_core(q, k, v, H, jnp.asarray(kpm), use_pallas=True)
+        assert calls == [expect], (Lk, calls)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_associator_long_window_with_pallas_fuser():
+    """A window-400 associator (the flash-kernel consumer) runs end to end
+    with use_pallas=True (interpret mode on CPU) and matches the XLA path."""
+    import dataclasses
+
+    from odam_tpu.models.associator import Associator, AssociatorConfig
+
+    cfg = AssociatorConfig(
+        descriptor_dim=32, keypoint_encoder=(78, 32, 32),
+        gnn_layers=("self", "cross"), self_gnn_layers=("self",),
+        sinkhorn_iterations=10, num_heads=2,
+    )
+    rng = np.random.default_rng(3)
+    T, W, N = 2, 400, 5
+    tracks = jnp.asarray(
+        np.where(
+            np.arange(W)[None, None, :, None] < 350,
+            rng.normal(size=(1, T, W, 79)) * 0.3, -1.0
+        ).astype(np.float32)
+    )
+    dets = jnp.asarray(rng.normal(size=(1, N, 79)).astype(np.float32) * 0.3)
+    tm = jnp.ones((1, T), bool)
+    dm = jnp.ones((1, N), bool)
+
+    model = Associator(cfg)
+    params = model.init(jax.random.key(0), tracks, tm, dets, dm)
+    out_xla = model.apply(params, tracks, tm, dets, dm)
+
+    model_p = Associator(dataclasses.replace(cfg, use_pallas=True))
+    out_pallas = model_p.apply(params, tracks, tm, dets, dm)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.log_assignment),
+        np.asarray(out_xla.log_assignment), atol=5e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_pallas.matches), np.asarray(out_xla.matches)
+    )
+
+
 def test_pallas_attention_matches_reference():
     from odam_tpu.ops import pallas_attention
     from odam_tpu.ops.attention import mha_core
@@ -259,3 +331,38 @@ def test_checkpoint_save_is_crash_safe(tmp_path):
     assert checkpoint.latest_path(path) == path + ".bak"
     out = checkpoint.restore(path, tree1)
     np.testing.assert_allclose(np.asarray(out["w"]), 2.0)
+
+
+def test_checkpoint_latest_path_tmp_ordering(tmp_path):
+    """A committed .tmp (crash between the full write and the rename swap) is
+    NEWER than .bak and must win; an uncommitted .tmp (crash mid-write) must
+    be skipped entirely, never handed to orbax restore."""
+    import os
+    import shutil
+
+    import jax.numpy as jnp
+
+    from odam_tpu.utils import checkpoint
+
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, {"w": jnp.ones((3,))})     # old state
+    checkpoint.save(path + "_new", {"w": jnp.full((3,), 5.0)})  # new state
+
+    # Simulate: save(tree_new) fully wrote .tmp, displaced main -> .bak,
+    # then crashed before renaming .tmp -> main.
+    os.rename(path, path + ".bak")
+    os.rename(path + "_new", path + ".tmp")
+    assert checkpoint.latest_path(path) == path + ".tmp"
+    out = checkpoint.restore(path, {"w": jnp.zeros((3,))})
+    np.testing.assert_allclose(np.asarray(out["w"]), 5.0)
+
+    # Simulate: the .tmp write itself was interrupted (no commit marker) —
+    # fall back to .bak, and never return the truncated dir.
+    os.remove(os.path.join(path + ".tmp", "_CHECKPOINT_METADATA"))
+    assert checkpoint.latest_path(path) == path + ".bak"
+    out = checkpoint.restore(path, {"w": jnp.zeros((3,))})
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+
+    # First-ever save interrupted: only an uncommitted .tmp exists -> None.
+    shutil.rmtree(path + ".bak")
+    assert checkpoint.latest_path(path) is None

@@ -121,3 +121,18 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = checkpoint.restore(path, like)
     np.testing.assert_allclose(np.asarray(restored["a"]), np.asarray(tree["a"]))
     np.testing.assert_allclose(np.asarray(restored["nested"]["b"]), 1.0)
+
+
+def test_fit_superquadric_demo(tmp_path):
+    """Headless SQ-fitting demo (examples/fit_superquadric.py — twin of the
+    reference's interactive Pangolin demo, learnable_primitives/main.py:18-117):
+    short schedule must reduce the loss and write all three artifacts."""
+    from examples.fit_superquadric import main
+
+    r = main(str(tmp_path), n_iters=150, seed=0, verbose=False)
+    assert r["loss_final"] < 0.6 * r["loss_first"]
+    for key in ("gt", "fitted", "strip"):
+        assert os.path.getsize(r["paths"][key]) > 0
+    with open(r["paths"]["fitted"]) as f:
+        head = f.read(2)
+    assert head == "v "

@@ -173,6 +173,35 @@ def test_eval_det_simple():
     assert out[0]["precision"] == pytest.approx(0.5)
 
 
+def test_eval_det_multiprocessing_parity(monkeypatch):
+    """The Pool path (reference eval_det_multiprocessing,
+    eval_utils.py:238-284) must agree with the serial path; this 1-core host
+    is auto-gated to serial unless cpu_count is faked up."""
+    rng = np.random.default_rng(0)
+    preds: dict = {}
+    gts: dict = {}
+    for s in range(3):
+        scene = f"s{s}"
+        preds[scene], gts[scene] = [], []
+        for cls in range(4):
+            for _ in range(3):
+                lo = rng.uniform(0, 5, 3)
+                box = np.stack([lo, lo + rng.uniform(0.5, 2, 3)])
+                gts[scene].append((cls, box))
+                jitter = rng.uniform(-0.3, 0.3, 3)
+                pred = box + jitter
+                preds[scene].append((cls, pred, float(rng.uniform(0.1, 1))))
+    serial = detection.eval_det(preds, gts)
+
+    import os
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    parallel = detection.eval_det(preds, gts, n_workers=2)
+    assert serial.keys() == parallel.keys()
+    for cls in serial:
+        for k in ("recall", "precision", "ap"):
+            assert serial[cls][k] == pytest.approx(parallel[cls][k])
+
+
 def test_alignment_accuracy():
     R = np.eye(3)
     t = np.zeros(3)
