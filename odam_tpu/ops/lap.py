@@ -142,9 +142,17 @@ def linear_sum_assignment(cost: Array) -> tuple[Array, Array]:
 def masked_assignment(cost: Array, row_mask: Array, col_mask: Array) -> Array:
     """Assignment over the valid submatrix of a padded cost matrix.
 
-    Invalid rows/columns are priced out with a large constant so the solve
-    keeps a static shape; assignments that touch an invalid slot are reported
-    as unmatched.
+    Invalid rows/columns are priced out so the solve keeps a static shape;
+    assignments that touch an invalid slot are reported as unmatched.
+
+    The pricing is SCALE-AWARE: valid costs are shifted to start at 0 and
+    invalid slots priced at 128x the valid-cost span.  A fixed huge constant
+    (the previous 1e6) is wrong in float32 — eps(1e6) ~ 0.06, so once the
+    dual potentials absorb the big constant, genuine cost gaps below 0.06
+    are rounded away and the solver returns near-arbitrary assignments
+    among the valid pairs (caught by the pipeline replay-parity test: the
+    associator decode picked a total 1e-3 worse than scipy's optimum on a
+    64x30 padded matrix with 3x4 valid).
 
     Args:
         cost: [R, C]; row_mask: [R] bool; col_mask: [C] bool.
@@ -153,22 +161,27 @@ def masked_assignment(cost: Array, row_mask: Array, col_mask: Array) -> Array:
         col4row [R]: assigned column per row, -1 where unmatched/invalid.
     """
     R, C = cost.shape
-    big = _BIG_COST
-    cost = jnp.clip(cost, -big / 4, big / 4)
-    cost = jnp.where(row_mask[:, None] & col_mask[None, :], cost, big)
+    valid = row_mask[:, None] & col_mask[None, :]
+    cost = jnp.clip(cost, -_BIG_COST, _BIG_COST)
+    any_valid = jnp.any(valid)
+    lo = jnp.where(any_valid, jnp.min(jnp.where(valid, cost, jnp.inf)), 0.0)
+    hi = jnp.where(any_valid, jnp.max(jnp.where(valid, cost, -jnp.inf)), 0.0)
+    span = jnp.maximum(hi - lo, 1e-6)
+    big = span * 128.0
+    cost = jnp.where(valid, cost - lo, big)
     if R <= C:
         col4row = _solve_square_leq(cost)
     else:
         row4col = _solve_square_leq(cost.T)
         col4row = jnp.full((R,), -1, jnp.int32)
         col4row = col4row.at[row4col].set(jnp.arange(C, dtype=jnp.int32))
-    valid = (
+    ok = (
         row_mask
         & (col4row >= 0)
         & col_mask[jnp.clip(col4row, 0, C - 1)]
         & (cost[jnp.arange(R), jnp.clip(col4row, 0, C - 1)] < big / 2)
     )
-    return jnp.where(valid, col4row, -1)
+    return jnp.where(ok, col4row, -1)
 
 
 def greedy_peel_match(score: Array, threshold: float | Array,

@@ -194,6 +194,31 @@ def test_masked_assignment_ignores_padding():
     )
 
 
+def test_masked_assignment_near_degenerate_costs():
+    """Regression: with a fixed huge pad price (the old 1e6), float32 dual
+    potentials lose genuine cost gaps below eps(1e6) ~ 0.06, and the solver
+    returns suboptimal assignments on near-degenerate score matrices (the
+    associator decode's everyday regime — Sinkhorn scores all ~0.2).
+    Caught by the pipeline replay-parity test; the scale-aware pricing must
+    match scipy's optimum in heavily-padded layouts."""
+    rng = np.random.default_rng(7)
+    M, N = 64, 30
+    for _ in range(25):
+        m = int(rng.integers(2, 9))
+        n = int(rng.integers(2, 9))
+        S = (0.2 + 0.002 * rng.standard_normal((m, n))).astype(np.float32)
+        pad = np.zeros((M, N), np.float32)
+        pad[:m, :n] = 1.0 - S
+        rm = np.zeros(M, bool); rm[:m] = True
+        cm = np.zeros(N, bool); cm[:n] = True
+        col = np.asarray(lap.masked_assignment(
+            jnp.asarray(pad), jnp.asarray(rm), jnp.asarray(cm)))
+        tot = sum(S[i, c] for i, c in enumerate(col[:m]) if c >= 0)
+        sri, sci = scipy.optimize.linear_sum_assignment(1.0 - S)
+        opt = S[sri, sci].sum()
+        np.testing.assert_allclose(tot, opt, atol=2e-6)
+
+
 def test_match_by_score_threshold():
     score = jnp.asarray(
         np.array(
