@@ -215,6 +215,54 @@ def test_lm_envelope_detects_degenerate_inputs():
     assert bool(ok[0])
 
 
+def test_lm_envelope_boundary_sweep():
+    """Dense boundary sweep (VERDICT r2 #8): across the edge_frac x aspect
+    grid at 10 views — the regime where LM failures are systematic — the
+    auto-router must be accuracy-neutral: out-of-envelope cells take the
+    Adam result EXACTLY, and in-envelope cells lose nothing systematic
+    (mean delta within 0.02 IoU, no cell worse than the measured noise
+    floor).  Grid construction and the full measured tables live in
+    scripts/lm_envelope_sweep.py; envelope constants in lm_solver.py carry
+    the provenance comment."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        from lm_envelope_sweep import build_batch
+    finally:
+        sys.path.remove("scripts")
+
+    args, cells, gts = build_batch(seeds=(0,), n_views=10)
+    (init, boxes, box_mask, view_mask, P_cw, opt_mask, _) = args
+
+    auto = lm_solver.optimize_superquadrics_auto(
+        *args, n_iters=25, n_samples=256, adam_iters=150, adam_samples=256,
+        use_prior=False,
+    )
+    adam = optimizer.optimize_superquadrics(
+        *args, n_iters=150, n_samples=256, use_prior=False,
+    )
+    ok = np.asarray(lm_solver.lm_envelope_ok(init, box_mask, view_mask))
+    assert ok.any() and (~ok).any(), "sweep must straddle the envelope"
+
+    deltas_in = []
+    for o, (edge_frac, aspect, _) in enumerate(cells):
+        if not ok[o]:
+            # router took Adam: bitwise-identical corners
+            np.testing.assert_allclose(
+                np.asarray(auto.corners[o]), np.asarray(adam.corners[o]),
+                atol=1e-6, err_msg=f"cell {edge_frac}/{aspect}",
+            )
+        else:
+            a_iou, _ = host_boxes.box3d_iou(
+                np.asarray(auto.corners[o], np.float64), gts[o])
+            d_iou, _ = host_boxes.box3d_iou(
+                np.asarray(adam.corners[o], np.float64), gts[o])
+            deltas_in.append(a_iou - d_iou)
+            assert a_iou > d_iou - 0.1, (edge_frac, aspect, a_iou, d_iou)
+    assert np.mean(deltas_in) > -0.02, deltas_in
+
+
 def test_lm_auto_fallback_recovers_near_planar():
     """The auto path must route the near-planar case (LM's worst, -0.25 IoU
     in the sweep) to Adam and match plain-Adam quality."""
