@@ -258,6 +258,39 @@ def update_tracks(cfg: PipelineConfig, assoc_apply, assoc_params,
     return store, log
 
 
+def frame_step_body(cfg: PipelineConfig, detr_apply, assoc_apply,
+                    detr_params, assoc_params, store: tracker.TrackStore,
+                    log: tracker.FrameLog, image: Array, frame_id: Array,
+                    T_wc: Array, K: Array, img_w: Array, img_h: Array
+                    ) -> FrameResult:
+    """The pure per-frame step: DETR forward -> postprocess/NMS -> row
+    assembly -> associate -> track-store update.
+
+    ``image`` is an already-normalized float32 [H, W, 3] frame.  Shared by
+    the online pipeline's jitted step (which adds transport/normalize/resize
+    in front) and the scene-parallel runner (which vmaps this body over a
+    scene axis sharded across the device mesh).
+    """
+    outputs = detr_apply(detr_params, image[None])
+    dets = detr_mod.postprocess(
+        outputs, img_w, img_h, jnp.asarray(cfg.detect_threshold), K,
+        max_dets=cfg.max_dets,
+    )
+    det_valid = dets.valid[0]
+    det79 = detection_rows_camera(dets, frame_id, img_w, img_h)
+    det82 = lift_rows_to_world(det79, det_valid, T_wc, img_w, img_h,
+                               cfg.no_code)
+    store, log = update_tracks(
+        cfg, assoc_apply, assoc_params, store, log,
+        det79, det82, det_valid, T_wc, K, img_w, img_h,
+    )
+    return FrameResult(
+        store=store,
+        log=log,
+        n_detections=jnp.sum(det_valid.astype(jnp.int32)),
+    )
+
+
 class OdamPipeline:
     """Host driver around the jitted per-frame step.
 
@@ -308,23 +341,9 @@ class OdamPipeline:
                 image = jax.image.resize(
                     image, self._resize_to + (3,), "bilinear"
                 )
-            outputs = detr_apply(detr_params, image[None])
-            dets = detr_mod.postprocess(
-                outputs, img_w, img_h, jnp.asarray(cfg.detect_threshold), K,
-                max_dets=cfg.max_dets,
-            )
-            det_valid = dets.valid[0]
-            det79 = detection_rows_camera(dets, frame_id, img_w, img_h)
-            det82 = lift_rows_to_world(det79, det_valid, T_wc, img_w, img_h,
-                                       cfg.no_code)
-            store, log = update_tracks(
-                cfg, assoc_apply, assoc_params, store, log,
-                det79, det82, det_valid, T_wc, K, img_w, img_h,
-            )
-            return FrameResult(
-                store=store,
-                log=log,
-                n_detections=jnp.sum(det_valid.astype(jnp.int32)),
+            return frame_step_body(
+                cfg, detr_apply, assoc_apply, detr_params, assoc_params,
+                store, log, image, frame_id, T_wc, K, img_w, img_h,
             )
 
         return step
