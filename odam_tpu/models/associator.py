@@ -45,6 +45,8 @@ class AssociatorConfig:
     sinkhorn_iterations: int = 100
     num_heads: int = 4
     decode: str = "exact"  # "exact" (Hungarian, reference parity) | "greedy" (fast peel)
+    use_pallas: bool = False  # Pallas attention kernels (fused; flash for
+                              # long track windows, ops/attention.py)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -81,6 +83,7 @@ class AttentionalPropagation(nn.Module):
     d_model: int
     num_heads: int
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, source: Array,
@@ -89,7 +92,8 @@ class AttentionalPropagation(nn.Module):
         q = dense("q_proj")(x)
         k = dense("k_proj")(source)
         v = dense("v_proj")(source)
-        msg = mha_core(q, k, v, self.num_heads, key_padding_mask)
+        msg = mha_core(q, k, v, self.num_heads, key_padding_mask,
+                       use_pallas=self.use_pallas)
         msg = dense("merge")(msg)
         return ChannelMLP(
             (2 * self.d_model, 2 * self.d_model, self.d_model),
@@ -134,7 +138,7 @@ class Associator(nn.Module):
         fused = trk.reshape(B * T, W, D)
         for i, _ in enumerate(c.self_gnn_layers):
             fused = fused + AttentionalPropagation(
-                D, c.num_heads, c.dtype, name=f"fuser_layer{i}"
+                D, c.num_heads, c.dtype, c.use_pallas, name=f"fuser_layer{i}"
             )(fused, fused)
         fused = jnp.mean(fused, axis=1).reshape(B, T, D)
 
@@ -145,7 +149,8 @@ class Associator(nn.Module):
 
         t_feat, d_feat = fused, det
         for i, kind in enumerate(c.gnn_layers):
-            layer = AttentionalPropagation(D, c.num_heads, c.dtype, name=f"gnn_layer{i}")
+            layer = AttentionalPropagation(D, c.num_heads, c.dtype,
+                                           c.use_pallas, name=f"gnn_layer{i}")
             if kind == "cross":
                 t_src, t_kpm = d_feat, None
                 d_src, d_kpm = t_feat, trk_kpm

@@ -17,6 +17,14 @@ Array = jax.Array
 
 NEG_INF = -1e9
 
+# Key-sequence length beyond which the Pallas path streams KV in blocks
+# (online-softmax flash kernel) instead of materializing the full [Lq, Lk]
+# logits tile in VMEM.  At the associator's default 100-step track window
+# the whole slice fits VMEM and the single-tile kernel wins; long-window
+# variants (window 400+, lifting the reference's processor.py:133 bound)
+# cross over to the streaming kernel.
+FLASH_MIN_KEYS = 256
+
 
 def mha_core(q: Array, k: Array, v: Array, num_heads: int,
              key_padding_mask: Array | None = None,
@@ -45,7 +53,12 @@ def mha_core(q: Array, k: Array, v: Array, num_heads: int,
     if use_pallas:
         from . import pallas_attention
 
-        out = pallas_attention.fused_attention(qh, kh, vh, key_padding_mask)
+        if Lk >= FLASH_MIN_KEYS:
+            out = pallas_attention.flash_attention(
+                qh, kh, vh, key_padding_mask, block_k=256
+            )
+        else:
+            out = pallas_attention.fused_attention(qh, kh, vh, key_padding_mask)
         return out.reshape(B, Lq, D)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(

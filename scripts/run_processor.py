@@ -56,7 +56,8 @@ def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16",
     import dataclasses as _dc
 
     acfg = _dc.replace(
-        assoc_mod.AssociatorConfig.from_cfg(cfg, dtype=dtype), decode=decode
+        assoc_mod.AssociatorConfig.from_cfg(cfg, dtype=dtype), decode=decode,
+        use_pallas=use_pallas,
     )
     assoc = assoc_mod.Associator(acfg)
 
