@@ -1,0 +1,251 @@
+"""Hard (discriminative) rehearsal scenes.
+
+The round-2 rehearsal saturated at F1 = 1.0 — 3-4 solid-colored,
+non-overlapping boxes on a dark background cannot fail, so it could not
+detect regressions or discriminate config choices (VERDICT r2 Weak #1).
+This generator produces scenes that operate in a measurable F1 band:
+
+- 8-10 objects per scene with SAME-CLASS DUPLICATES (duplicates share the
+  class color, so association must disambiguate instances by geometry,
+  not appearance);
+- procedural layouts from a seed — training uses different seeds than
+  evaluation, so the detector generalizes over layouts, not memorizes;
+- textured backgrounds (per-scene seeded noise + gradient) and per-frame
+  brightness jitter;
+- partial occlusion (objects close enough to overlap in view, painter's
+  algorithm) and image-border truncation (tight camera ring), exercising
+  the edge_threshold=20 constraint masking downstream
+  (/root/reference/src/utils/tracking_gt_utils.py:199);
+- pose noise: rendering uses the true camera, the written pose file gets a
+  perturbed one — the recorded-trajectory error real SLAM systems have.
+
+Class ids/colors follow common.py (mapping/prior.py CLASS_MAPPER).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from common import IMG, K, box_corners_np, cam_azi_np, look_at
+
+CLASS_COLORS = {
+    0: (170, 60, 230),   # display
+    1: (60, 255, 60),    # table
+    2: (240, 240, 240),  # bathtub
+    3: (80, 80, 255),    # trashbin
+    4: (250, 180, 40),   # sofa
+    5: (255, 60, 60),    # chair
+    6: (220, 220, 70),   # cabinet
+    7: (60, 200, 220),   # bookshelf
+}
+
+CLASS_DIMS = {  # nominal (w, d, h) per class, jittered per instance
+    0: (0.9, 0.15, 0.55),
+    1: (1.2, 0.7, 0.6),
+    2: (0.8, 0.5, 0.55),
+    3: (0.4, 0.4, 0.5),
+    4: (1.5, 0.7, 0.7),
+    5: (0.55, 0.55, 0.9),
+    6: (0.9, 0.5, 0.9),
+    7: (0.9, 0.35, 1.2),
+}
+
+N_FRAMES_HARD = 32
+RING_RADIUS = 2.6          # tight -> border truncation
+RING_ELEVATION = 1.1
+POSE_NOISE_T = 0.015       # meters, written-pose perturbation
+POSE_NOISE_R = 0.01        # radians
+
+EVAL_SEEDS = (0, 1, 2)     # on-disk eval scenes: scene97<seed>_00
+TRAIN_SEEDS = (100, 101, 102, 103, 104)  # held-out layouts for training
+
+
+def hard_scene_id(seed: int) -> str:
+    return f"scene97{seed:02d}_00"
+
+
+def make_hard_objects(seed: int):
+    """Procedural layout: 8-10 objects, >=2 same-class duplicate pairs."""
+    rng = np.random.default_rng(1000 + seed)
+    n_objects = int(rng.integers(8, 11))
+    # choose classes: force duplicates
+    dup_classes = rng.choice(8, 2, replace=False)
+    classes = list(dup_classes) * 2  # two instances each
+    while len(classes) < n_objects:
+        classes.append(int(rng.integers(0, 8)))
+    rng.shuffle(classes)
+
+    objects = []
+    placed = []
+    for cls in classes:
+        dims = np.asarray(CLASS_DIMS[int(cls)]) * rng.uniform(0.85, 1.2, 3)
+        for _ in range(40):
+            c = np.array([rng.uniform(-1.6, 1.6), rng.uniform(-1.6, 1.6),
+                          dims[2] / 2])
+            # allow visual overlap but not center collisions
+            if all(np.linalg.norm(c[:2] - p[:2]) > 0.55 for p in placed):
+                break
+        placed.append(c)
+        yaw = float(rng.uniform(0, np.pi) + 0.003)  # off the atan2 knife-edge
+        objects.append((c, dims, yaw, int(cls), CLASS_COLORS[int(cls)]))
+    return objects
+
+
+def _background(seed: int) -> np.ndarray:
+    """Per-scene textured background (seeded: stable across frames)."""
+    rng = np.random.default_rng(2000 + seed)
+    base = rng.integers(25, 70, 3)
+    yy, xx = np.mgrid[0:IMG, 0:IMG].astype(np.float32) / IMG
+    grad = (0.6 + 0.4 * yy)[..., None]
+    noise = rng.normal(0, 14, (IMG // 4, IMG // 4, 3))
+    noise = np.repeat(np.repeat(noise, 4, 0), 4, 1)
+    checker = 8.0 * (((xx * 10).astype(int) + (yy * 10).astype(int)) % 2 - 0.5)
+    img = base[None, None] * grad + noise + checker[..., None]
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def render_hard(objects, T_wc, background, frame_rng):
+    """Painter's render with texture, shading, jitter + GT detector rows.
+
+    Returns (img uint8, rows [n, 12], inst_ids [n]) — inst_ids give the
+    OBJECT index per row (same-class duplicates need identity for GT
+    association tracks; class alone is ambiguous here by design).
+    """
+    img = background.copy()
+    T_cw = np.linalg.inv(T_wc)
+    order = []
+    for inst, (c, dims, yaw, cls, color) in enumerate(objects):
+        corners = box_corners_np(dims, yaw, c)
+        pc = corners @ T_cw[:3, :3].T + T_cw[:3, 3]
+        if pc[:, 2].min() < 0.3:
+            continue
+        uv = pc @ K.T
+        uv = uv[:, :2] / uv[:, 2:]
+        x0, y0 = uv.min(0)
+        x1, y1 = uv.max(0)
+        # visibility: require some part inside the frame (truncation allowed)
+        ix0, iy0 = max(int(x0), 0), max(int(y0), 0)
+        ix1, iy1 = min(int(x1), IMG), min(int(y1), IMG)
+        if ix1 - ix0 < 5 or iy1 - iy0 < 5:
+            continue
+        order.append((pc[:, 2].mean(), (x0, y0, x1, y1), c, dims, yaw, cls,
+                      color, inst))
+
+    rows = []
+    inst_ids = []
+    for depth, (x0, y0, x1, y1), c, dims, yaw, cls, color, inst in sorted(
+        order, key=lambda o: -o[0]
+    ):
+        ix0, iy0 = max(int(x0), 0), max(int(y0), 0)
+        ix1, iy1 = min(int(x1), IMG), min(int(y1), IMG)
+        shade = float(np.clip(1.25 - 0.09 * depth, 0.55, 1.15))
+        jitter = frame_rng.uniform(0.9, 1.1, 3)
+        block = np.asarray(color, np.float32) * shade * jitter
+        # simple per-object texture: two-tone vertical split
+        mid = (ix0 + ix1) // 2
+        img[iy0:iy1, ix0:mid] = np.clip(block, 0, 255)
+        img[iy0:iy1, mid:ix1] = np.clip(block * 0.82, 0, 255)
+
+        t_co = T_cw[:3, :3] @ c + T_cw[:3, 3]
+        proj = K @ t_co
+        sc = proj[:2] / proj[2]
+        cam_azi = cam_azi_np(T_wc)
+        rows.append(
+            [cls, (x0 + x1) / 2 / IMG, (y0 + y1) / 2 / IMG, (x1 - x0) / IMG,
+             (y1 - y0) / IMG, dims[0], dims[1], dims[2],
+             (sc[0] - (x0 + x1) / 2) / IMG, (sc[1] - (y0 + y1) / 2) / IMG,
+             t_co[2], yaw - cam_azi]
+        )
+        inst_ids.append(inst)
+    return (np.clip(img, 0, 255).astype(np.uint8),
+            np.asarray(rows, np.float32), np.asarray(inst_ids, np.int32))
+
+
+def hard_scene_views(seed: int, n_frames: int = N_FRAMES_HARD,
+                     phase: float = 0.0, pose_noise: bool = True):
+    """Camera ring -> [(frame_id, T_wc_written, img, gt_rows)].
+
+    ``T_wc_written`` carries the pose noise (what the pipeline consumes);
+    rendering and GT rows use the true camera.
+    """
+    objects = make_hard_objects(seed)
+    background = _background(seed)
+    center = np.mean([o[0] for o in objects], axis=0)
+    center[2] = 0.45
+    noise_rng = np.random.default_rng(3000 + seed)
+    views = []
+    for k in range(n_frames):
+        phi = 2 * np.pi * (k + phase) / n_frames
+        cam = center + np.array([
+            RING_RADIUS * np.cos(phi), RING_RADIUS * np.sin(phi),
+            RING_ELEVATION,
+        ])
+        T_true = look_at(cam, center).astype(np.float64)
+        frame_rng = np.random.default_rng(4000 + seed * 100 + k)
+        img, rows, inst_ids = render_hard(objects, T_true, background, frame_rng)
+        T_out = T_true.copy()
+        if pose_noise:
+            T_out[:3, 3] += noise_rng.normal(0, POSE_NOISE_T, 3)
+            w = noise_rng.normal(0, POSE_NOISE_R, 3)
+            wx = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                           [-w[1], w[0], 0]])
+            from scipy.linalg import expm
+
+            T_out[:3, :3] = T_out[:3, :3] @ expm(wx)
+        views.append((k, T_out.astype(np.float32), img, rows, inst_ids))
+    return views
+
+
+def hard_gt_world_tracks(seed: int, rng: np.random.Generator,
+                         noise: float = 0.02, phase: float = 0.0):
+    """Per-INSTANCE GT observation tracks (82-dim world rows) + poses.
+
+    Twin of common.gt_world_tracks for hard scenes — identity comes from
+    the renderer's instance ids, because same-class duplicates make
+    class-based identity ambiguous (that is the point of these scenes).
+    """
+    objects = make_hard_objects(seed)
+    tracks = [[] for _ in objects]
+    poses = {}
+    for fid, T_wc, _, rows, inst_ids in hard_scene_views(seed, phase=phase):
+        poses[fid] = T_wc
+        for r, inst in zip(rows, inst_ids):
+            c, dims, yaw, cls, _ = objects[int(inst)]
+            row = np.full((82,), -1.0, np.float32)
+            row[0] = fid
+            row[1] = cls
+            bbox = np.array([r[1] - r[3] / 2, r[2] - r[4] / 2,
+                             r[1] + r[3] / 2, r[2] + r[4] / 2]) * IMG
+            row[2:6] = bbox + rng.normal(0, noise * IMG, 4)
+            row[6:9] = dims + rng.normal(0, noise, 3)
+            row[9:12] = c + rng.normal(0, noise, 3)
+            row[12] = yaw + rng.normal(0, noise)
+            row[13] = 0.95
+            row[78:82] = row[2:6]
+            tracks[int(inst)].append(row)
+    return [np.stack(t) for t in tracks if t], poses
+
+
+def hard_scene_annotation(seed: int) -> dict:
+    """Scan2CAD-format GT for one hard scene (make_dataset.py schema)."""
+    from odam_tpu.mapping.prior import CLASS_MAPPER
+
+    def yaw_quat(yaw):
+        return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
+
+    objects = make_hard_objects(seed)
+    return {
+        "id_scan": hard_scene_id(seed),
+        "trs": {"translation": [0, 0, 0], "rotation": [1, 0, 0, 0],
+                "scale": [1, 1, 1]},
+        "aligned_models": [
+            {
+                "catid_cad": CLASS_MAPPER[cls],
+                "id_cad": f"synthetic_{i}",
+                "trs": {"translation": [float(v) for v in c],
+                        "rotation": yaw_quat(yaw),
+                        "scale": [1.0, 1.0, 1.0]},
+                "bbox": [float(v) for v in dims / 2],
+            }
+            for i, (c, dims, yaw, cls, _) in enumerate(objects)
+        ],
+    }

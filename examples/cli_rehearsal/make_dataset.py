@@ -105,6 +105,54 @@ def main(root: str) -> None:
     print(f"wrote {len(SCENES)} scenes, {n} frames, {IMG}x{IMG}, to {root}")
 
 
+def main_hard(root: str) -> None:
+    """Write the HARD (discriminative) val split: procedural 8-10-object
+    scenes with same-class duplicates, texture, occlusion, border
+    truncation, and pose noise (see hard.py).  Same on-disk layout as
+    :func:`main`; evaluation seeds only — training uses held-out seeds via
+    train.py's ODAM_HARD mode."""
+    from hard import (EVAL_SEEDS, hard_scene_annotation, hard_scene_id,
+                      hard_scene_views)
+
+    scans = os.path.join(root, "scans")
+    annotations = []
+    K44 = np.eye(4)
+    K44[:3, :3] = K
+    aa_line = "axisAlignment = " + " ".join(str(v) for v in np.eye(4).reshape(-1))
+
+    scene_ids = []
+    for seed in EVAL_SEEDS:
+        scene_id = hard_scene_id(seed)
+        scene_ids.append(scene_id)
+        base = os.path.join(scans, scene_id, "frames")
+        for sub in ("color", "pose", "intrinsic"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        np.savetxt(os.path.join(base, "intrinsic", "intrinsic_color.txt"), K44)
+        with open(os.path.join(scans, scene_id, f"{scene_id}.txt"), "w") as f:
+            f.write(aa_line + "\n")
+        for fid, T_wc, img, _, _ in hard_scene_views(seed):
+            Image.fromarray(img).save(
+                os.path.join(base, "color", f"{fid}.jpg"), quality=95
+            )
+            np.savetxt(os.path.join(base, "pose", f"{fid}.txt"), T_wc)
+        annotations.append(hard_scene_annotation(seed))
+
+    with open(os.path.join(root, "full_annotations.json"), "w") as f:
+        json.dump(annotations, f)
+    with open(os.path.join(root, "val.txt"), "w") as f:
+        f.write("\n".join(scene_ids) + "\n")
+    with open(os.path.join(root, "rehearsal.yaml"), "w") as f:
+        f.write(YAML)
+    n = sum(len(os.listdir(os.path.join(scans, s, "frames", "color")))
+            for s in scene_ids)
+    print(f"wrote {len(scene_ids)} HARD scenes, {n} frames, {IMG}x{IMG}, to {root}")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else
-         os.path.join(os.path.dirname(__file__), "data"))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--hard" in sys.argv:
+        main_hard(args[0] if args else
+                  os.path.join(os.path.dirname(__file__), "data_hard"))
+    else:
+        main(args[0] if args else
+             os.path.join(os.path.dirname(__file__), "data"))

@@ -33,18 +33,37 @@ compile_cache.enable()
 
 from common import IMG, SCENES, scene_views, make_detr, make_assoc, norm, gt_world_tracks  # noqa: E402
 
+HARD = os.environ.get("ODAM_HARD") == "1"
+
+
+def _train_views():
+    """(img, rows) training views — standard scenes, or the hard split's
+    held-out layout seeds (ODAM_HARD=1; eval scenes use different seeds,
+    so generalization is over layouts, not camera phases alone)."""
+    views = []
+    if HARD:
+        from hard import TRAIN_SEEDS, hard_scene_views
+
+        for seed in TRAIN_SEEDS:
+            for phase in (0.0, 0.5):
+                for _, _, img, rows, _ in hard_scene_views(seed, phase=phase):
+                    if len(rows):
+                        views.append((img, rows))
+    else:
+        for scene_id in SCENES:
+            # two camera rings offset from the on-disk eval ring (phase 0.0)
+            for phase in (0.3, 0.65):
+                for _, _, img, rows in scene_views(scene_id, phase=phase):
+                    if len(rows):
+                        views.append((img, rows))
+    return views
+
 
 def train_detector(seg: int, steps: int, ckpt: str) -> None:
     from odam_tpu.models import criterion as crit_mod, training as train_mod
     from odam_tpu.data.datasets import pack_targets
 
-    views = []
-    for scene_id in SCENES:
-        # two camera rings offset from the on-disk eval ring (phase 0.0)
-        for phase in (0.3, 0.65):
-            for _, _, img, rows in scene_views(scene_id, phase=phase):
-                if len(rows):
-                    views.append((img, rows))
+    views = _train_views()
     model, cfg = make_detr()
     if checkpoint.latest_path(ckpt):
         # restore against abstract shapes: skips compiling the init program
@@ -164,13 +183,11 @@ def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
         print(f"resumed from {ckpt}")
 
     # cache backbone features for every train view (one-time inference)
-    feat_cache = os.path.join(os.path.dirname(ckpt), "rehearsal_feats.npz")
-    views = []
-    for scene_id in SCENES:
-        for phase in (0.3, 0.65):
-            for _, _, img, rows in scene_views(scene_id, phase=phase):
-                if len(rows):
-                    views.append((img, rows))
+    feat_cache = os.path.join(
+        os.path.dirname(ckpt),
+        "rehearsal_feats_hard.npz" if HARD else "rehearsal_feats.npz",
+    )
+    views = _train_views()
     if os.path.exists(feat_cache):
         feats = np.load(feat_cache)["feats"]
     else:
@@ -244,30 +261,38 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
     from odam_tpu.data.datasets import build_association_sample
     from odam_tpu.models import training as train_mod
 
-    T, N, W = 8, 30, 100  # pipeline geometry: dets padded to 30, window 100
+    T, N, W = (16 if HARD else 8), 30, 100  # dets padded to 30, window 100
     samples = []
     rng = np.random.default_rng(7)
-    for scene_id in SCENES:
-        for noise_seed in range(4):
-            tracks, poses = gt_world_tracks(
-                scene_id, np.random.default_rng(noise_seed), noise=0.03
+    if HARD:
+        from hard import TRAIN_SEEDS, hard_gt_world_tracks
+
+        sources = [
+            hard_gt_world_tracks(seed, np.random.default_rng(ns), noise=0.03)
+            for seed in TRAIN_SEEDS for ns in range(2)
+        ]
+    else:
+        sources = [
+            gt_world_tracks(scene_id, np.random.default_rng(ns), noise=0.03)
+            for scene_id in SCENES for ns in range(4)
+        ]
+    for tracks, poses in sources:
+        for fid, T_wc in poses.items():
+            if fid == 0:
+                continue
+            s = build_association_sample(
+                tracks, float(fid), T, N, W,
+                T_wc=T_wc, img_w=float(IMG), img_h=float(IMG),
             )
-            for fid, T_wc in poses.items():
-                if fid == 0:
-                    continue
-                s = build_association_sample(
-                    tracks, float(fid), T, N, W,
-                    T_wc=T_wc, img_w=float(IMG), img_h=float(IMG),
-                )
-                if s is not None:
-                    P = 16  # pad variable-length gt pairs for batching
-                    pairs = np.zeros((P, 2), np.int32)
-                    valid = np.zeros((P,), bool)
-                    k = min(len(s["gt_pairs"]), P)
-                    pairs[:k] = s["gt_pairs"][:k]
-                    valid[:k] = True
-                    s["gt_pairs"], s["pair_valid"] = pairs, valid
-                    samples.append(s)
+            if s is not None:
+                P = 32 if HARD else 16  # pad variable-length gt pairs
+                pairs = np.zeros((P, 2), np.int32)
+                valid = np.zeros((P,), bool)
+                k = min(len(s["gt_pairs"]), P)
+                pairs[:k] = s["gt_pairs"][:k]
+                valid[:k] = True
+                s["gt_pairs"], s["pair_valid"] = pairs, valid
+                samples.append(s)
     print(f"{len(samples)} association samples")
 
     model, _ = make_assoc()
