@@ -212,6 +212,115 @@ def test_transformer_whole_model_parity(ref_models, rng):
     )
 
 
+def _torch_resnet50():
+    """Minimal torch mirror of torchvision's resnet50 structure.
+
+    torchvision is absent in this image, which is exactly why the reference
+    backbone (backbone.py:84-94: ``getattr(torchvision.models, "resnet50")``
+    with FrozenBatchNorm2d) needs a hand-written twin: the state-dict names
+    (conv1, bn1, layerS.B.convC/bnC, layerS.B.downsample.0/1) and the
+    forward composition match torchvision exactly, so porting parity here
+    proves ``porting.convert_resnet50`` can be trusted on a real
+    detector.pth sight-unseen.  BatchNorm2d in eval mode is numerically
+    identical to the reference's FrozenBatchNorm2d (both: affine transform
+    with running stats, eps 1e-5).
+    """
+    import torch.nn as tnn
+
+    class Bottleneck(tnn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                    padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.relu = tnn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet(tnn.Module):
+        def __init__(self, layers=(3, 4, 6, 3)):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(kernel_size=3, stride=2, padding=1)
+            self.layer1 = self._make_layer(64, layers[0], stride=1)
+            self.layer2 = self._make_layer(128, layers[1], stride=2)
+            self.layer3 = self._make_layer(256, layers[2], stride=2)
+            self.layer4 = self._make_layer(512, layers[3], stride=2)
+
+        def _make_layer(self, planes, blocks, stride):
+            downsample = tnn.Sequential(
+                tnn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                           bias=False),
+                tnn.BatchNorm2d(planes * 4),
+            )
+            layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            layers += [Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+            return tnn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer1(x)
+            x = self.layer2(x)
+            x = self.layer3(x)
+            return self.layer4(x)
+
+    return ResNet()
+
+
+def test_resnet50_composed_porting_parity(rng):
+    """Composed ResNet-50 forward parity under ported weights: the full
+    25M-parameter porting chain (convert_resnet50 name mapping + OIHW->HWIO
+    transposes + frozen-BN semantics), not just the per-op checks in
+    test_porting.py.  A transposed kernel or mis-folded BN in any one of the
+    53 conv/BN pairs fails this."""
+    import jax.numpy as jnp
+
+    from odam_tpu.models import porting, resnet
+
+    torch.manual_seed(0)
+    ref = _torch_resnet50().eval()
+    # Randomize BN running stats/affine away from the (1, 0) init so a
+    # mean/var swap or eps mismatch is visible.
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+
+    x = rng.normal(size=(1, 3, 96, 128)).astype(np.float32)
+    with torch.no_grad():
+        ref_feat = ref(torch.from_numpy(x)).numpy()  # [1, 2048, 3, 4]
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = porting.convert_resnet50(sd, prefix="")
+
+    ours = resnet.resnet50()
+    feats = ours.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    out = np.asarray(feats[4]).transpose(0, 3, 1, 2)
+    assert out.shape == ref_feat.shape
+    np.testing.assert_allclose(out, ref_feat, atol=1e-3, rtol=1e-3)
+
+
 def test_head_mlp_parity(ref_models, rng):
     """Reference detr.MLP prediction head == our HeadMLP under ported weights
     (reference detr.py:515-527; heads built at detr.py:37-42)."""
