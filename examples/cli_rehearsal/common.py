@@ -121,13 +121,13 @@ def scene_views(scene_id: str, n_frames: int = N_FRAMES, phase: float = 0.0):
     return views
 
 
-def make_detr():
+def make_detr(num_queries: int = 12):
     import jax.numpy as jnp
 
     from odam_tpu.models import detr as detr_mod
 
     cfg = detr_mod.DETRConfig(
-        num_classes=8, num_queries=12, hidden_dim=64, nheads=4,
+        num_classes=8, num_queries=num_queries, hidden_dim=64, nheads=4,
         enc_layers=2, dec_layers=2, dim_feedforward=256,
         aux_loss=True, dropout=0.0, dtype=jnp.float32,
     )

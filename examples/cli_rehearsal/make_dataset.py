@@ -142,7 +142,9 @@ def main_hard(root: str) -> None:
     with open(os.path.join(root, "val.txt"), "w") as f:
         f.write("\n".join(scene_ids) + "\n")
     with open(os.path.join(root, "rehearsal.yaml"), "w") as f:
-        f.write(YAML)
+        # 8-10 objects per scene need more query slots than the 3-4-object
+        # standard split
+        f.write(YAML.replace("num_queries: 12", "num_queries: 16"))
     n = sum(len(os.listdir(os.path.join(scans, s, "frames", "color")))
             for s in scene_ids)
     print(f"wrote {len(scene_ids)} HARD scenes, {n} frames, {IMG}x{IMG}, to {root}")

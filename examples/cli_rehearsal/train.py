@@ -64,7 +64,7 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
     from odam_tpu.data.datasets import pack_targets
 
     views = _train_views()
-    model, cfg = make_detr()
+    model, cfg = make_detr(16 if HARD else 12)
     if checkpoint.latest_path(ckpt):
         # restore against abstract shapes: skips compiling the init program
         # (~150 s through this environment's remote compiler)
@@ -88,7 +88,7 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
     for it in range(steps):
         idx = rng.integers(0, len(views), B)
         imgs = np.stack([norm(views[i][0]) for i in idx])
-        targets = pack_targets([views[i][1] for i in idx], 8)
+        targets = pack_targets([views[i][1] for i in idx], 12 if HARD else 8)
         targets = crit_mod.Targets(*[jnp.asarray(x) for x in targets])
         state, m = step_fn(state, jnp.asarray(imgs), targets,
                            jax.random.key(seg * 10000 + it))
@@ -176,7 +176,7 @@ def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
     from odam_tpu.models import criterion as crit_mod, resnet
     from odam_tpu.data.datasets import pack_targets
 
-    model, cfg = make_detr()
+    model, cfg = make_detr(16 if HARD else 12)
     full = model.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)))
     if checkpoint.latest_path(ckpt):
         full = checkpoint.restore(ckpt, full)
@@ -243,7 +243,7 @@ def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
         idx = rng.integers(0, len(views), B)
         f = jnp.asarray(feats[idx])
         targets = crit_mod.Targets(*[
-            jnp.asarray(x) for x in pack_targets([views[i][1] for i in idx], 8)
+            jnp.asarray(x) for x in pack_targets([views[i][1] for i in idx], 12 if HARD else 8)
         ])
         head_params, opt_state, total = step_fn(head_params, opt_state, f, targets)
         if (it + 1) % int(os.environ.get("ODAM_BANK", "500")) == 0:

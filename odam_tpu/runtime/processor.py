@@ -173,6 +173,18 @@ def prepare_track_inputs(store: tracker.TrackStore, T_wc: Array, K: Array,
     box_n = jnp.clip(box / norm, -1.0, 2.0)                        # [T, 4]
 
     win = store.window
+    import os as _os
+
+    if _os.environ.get("ODAM_FAULT_INJECT") == "stale_track_bbox":
+        # Test instrumentation (examples/cli_rehearsal/ablate.py): SKIP the
+        # reference's per-frame projected-bbox refresh (_prepare_tracks,
+        # processor.py:190-203) and feed each window row's stored
+        # attach-time bbox instead.  Exists to prove the discriminative
+        # rehearsal detects an injected pipeline bug as an F1 drop; never
+        # set in production.
+        box_bcast = jnp.clip(win[..., 78:82] / norm, -1.0, 2.0)
+    else:
+        box_bcast = jnp.broadcast_to(box_n[:, None, :], box_n.shape[:1] + (win.shape[1], 4))
     cam_azi = geo.camera_azimuth(T_wc)
     t_wo = win[..., 9:12]
     t_co = geo.transform_points(T_cw, t_wo.reshape(T_cap * W, 3)).reshape(T_cap, W, 3)
@@ -181,7 +193,7 @@ def prepare_track_inputs(store: tracker.TrackStore, T_wc: Array, K: Array,
     out = jnp.concatenate(
         [
             win[..., 0:2],                                  # time, class
-            jnp.broadcast_to(box_n[:, None, :], (T_cap, W, 4)),
+            box_bcast,
             win[..., 6:9],                                  # dims
             t_co,
             jnp.sin(ang)[..., None],

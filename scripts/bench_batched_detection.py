@@ -1,0 +1,150 @@
+"""Throughput-mode detection bench: BatchedDetector at batch 1/4/8/16 + MFU.
+
+Round 2 benched the chip only at batch 1 (latency mode, ~5% MFU — normal
+for batch-1 conv inference).  This measures the THROUGHPUT mode the
+offline pipeline actually uses (runtime/offline.py BatchedDetector:
+detection batched ahead, association streamed) and reports frames/s and
+model FLOP utilization per batch size.
+
+Timing per CLAUDE.md: end every region with a forced device->host pull.
+
+Usage: python scripts/bench_batched_detection.py [--dtype bfloat16]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMG_H, IMG_W = 800, 1071  # ScanNet 968x1296 -> shorter side 800
+
+
+def conv_flops_resnet50(h, w):
+    """Forward multiply-add FLOPs (x2) of ResNet-50 at input h x w."""
+    flops = 0.0
+
+    def conv(cin, cout, k, s, hw):
+        nonlocal flops
+        oh, ow = hw[0] // s, hw[1] // s
+        flops += 2.0 * oh * ow * cin * cout * k * k
+        return (oh, ow)
+
+    hw = conv(3, 64, 7, 2, (h, w))
+    hw = (hw[0] // 2, hw[1] // 2)  # maxpool
+    cin = 64
+    for stage, (blocks, mid) in enumerate(
+        [(3, 64), (4, 128), (6, 256), (3, 512)]
+    ):
+        for b in range(blocks):
+            s = 2 if (b == 0 and stage > 0) else 1
+            conv(cin, mid, 1, 1, hw)
+            hw2 = conv(mid, mid, 3, s, hw)
+            conv(mid, mid * 4, 1, 1, hw2)
+            if b == 0:
+                conv(cin, mid * 4, 1, s, hw)
+            hw = hw2
+            cin = mid * 4
+    return flops, hw
+
+
+def transformer_flops(tokens, queries, d, ffn, enc, dec):
+    """Approximate DETR transformer forward FLOPs."""
+    f = 0.0
+    # encoder: self-attn (4 proj + 2 matmul) + FFN
+    f += enc * (4 * 2 * tokens * d * d + 2 * 2 * tokens * tokens * d
+                + 2 * 2 * tokens * d * ffn)
+    # decoder: self + cross + FFN
+    f += dec * (4 * 2 * queries * d * d + 2 * 2 * queries * queries * d
+                + 4 * 2 * (queries + tokens) * d * d
+                + 2 * 2 * queries * tokens * d
+                + 2 * 2 * queries * d * ffn)
+    return f
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--batches", default="1,4,8,16")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--peak_tflops", type=float, default=394.0,
+                    help="chip peak (v5e bf16 = 394 TFLOP/s)")
+    args = ap.parse_args()
+
+    from odam_tpu import config as config_mod
+    from odam_tpu.models import detr as detr_mod
+    from odam_tpu.runtime import offline as offline_mod, processor as proc_mod
+    from odam_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform}); dtype {args.dtype}")
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
+    cfg = config_mod.merge_cfg(["configs/detr_scan_net.yaml"])
+    dcfg = detr_mod.DETRConfig.from_cfg(cfg, dtype=dtype, use_pallas=True)
+    model = detr_mod.DETR(dcfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    pcfg = proc_mod.PipelineConfig()
+
+    bb_flops, hw = conv_flops_resnet50(IMG_H, IMG_W)
+    tokens = hw[0] * hw[1]
+    tr_flops = transformer_flops(tokens, dcfg.num_queries, dcfg.hidden_dim,
+                                 dcfg.dim_feedforward, dcfg.enc_layers,
+                                 dcfg.dec_layers)
+    per_frame_gflops = (bb_flops + tr_flops) / 1e9
+    print(f"model: ~{per_frame_gflops:.0f} GFLOP/frame at {IMG_H}x{IMG_W} "
+          f"({tokens} tokens)")
+
+    K = np.array([[580.0, 0, IMG_W / 2], [0, 580.0, IMG_H / 2], [0, 0, 1]],
+                 np.float32)
+    rng = np.random.default_rng(0)
+    Kd = jnp.asarray(K)
+    w_dev = jnp.asarray(float(IMG_W))
+    h_dev = jnp.asarray(float(IMG_H))
+    rows = []
+    for B in [int(b) for b in args.batches.split(",")]:
+        det = offline_mod.BatchedDetector(model, params, pcfg, batch_size=B)
+        frames = [rng.integers(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+                  for _ in range(B)]
+        stack_dev = jax.device_put(jnp.asarray(np.stack(frames)))
+
+        # chip-sustained: device-resident frames through the jitted batch
+        out = det._run(params, stack_dev, Kd, w_dev, h_dev)  # compile
+        float(jnp.sum(out.scores))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = det._run(params, stack_dev, Kd, w_dev, h_dev)
+        float(jnp.sum(out.scores))
+        dt = (time.perf_counter() - t0) / args.iters
+        fps = B / dt
+        mfu = fps * per_frame_gflops / 1e3 / args.peak_tflops
+
+        # end-to-end: host frames through detect_frames (includes the
+        # ~40 MB/s tunnel H2D in this environment)
+        out2 = det.detect_frames(frames, K, IMG_W, IMG_H)
+        float(jnp.sum(out2[-1].scores))
+        t0 = time.perf_counter()
+        for _ in range(max(args.iters // 2, 2)):
+            out2 = det.detect_frames(frames, K, IMG_W, IMG_H)
+        float(jnp.sum(out2[-1].scores))
+        fps_e2e = B * max(args.iters // 2, 2) / (time.perf_counter() - t0)
+
+        rows.append((B, fps, dt / B * 1e3, mfu, fps_e2e))
+        print(f"batch {B:3d}: chip {fps:7.1f} frames/s "
+              f"({dt / B * 1e3:6.2f} ms/frame, MFU {mfu:5.1%}) | "
+              f"host-streamed {fps_e2e:6.1f} frames/s")
+    best = max(rows, key=lambda r: r[1])
+    print(f"best chip-sustained: batch {best[0]} at {best[1]:.1f} frames/s "
+          f"(MFU {best[3]:.1%})")
+
+
+if __name__ == "__main__":
+    main()

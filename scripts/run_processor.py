@@ -105,6 +105,98 @@ def build_models(cfg, detector_ckpt, associator_ckpt, dtype_name="bfloat16",
     return detr, dparams, assoc, aparams
 
 
+class _LazyFrames:
+    """Sequence of pre-resized uint8 frames, loaded on access.
+
+    The scene-parallel runner touches each scene's frame f exactly once per
+    lockstep round, so memory stays O(P frames) instead of O(P * F)."""
+
+    def __init__(self, index, seq_id, names, ih, iw):
+        self.index = index
+        self.seq_id = seq_id
+        self.names = names
+        self.size = (iw, ih)
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        img = Image.open(self.index.image_path(self.seq_id, self.names[i]))
+        return np.asarray(img.resize(self.size, Image.BILINEAR))
+
+
+def run_scene_parallel(args, index, scene_list, pcfg,
+                       detr, dparams, assoc, aparams):
+    """P pipeline replicas, one scene per device (SURVEY §2 DP plan)."""
+    import pickle
+    import time
+
+    import jax
+
+    from odam_tpu.parallel import mesh as mesh_mod
+    from odam_tpu.runtime import scene_parallel as sp_mod
+
+    P = args.scene_parallel
+    assert P <= len(jax.devices()), (P, len(jax.devices()))
+    mesh = mesh_mod.make_mesh({"dp": P})
+    runner = sp_mod.SceneParallelRunner(detr, dparams, assoc, aparams,
+                                        pcfg, mesh)
+
+    pending = [
+        s for s in scene_list
+        if not (args.resume
+                and os.path.exists(os.path.join(args.out_dir, s, s)))
+    ]
+    ih = iw = None
+    for start in range(0, len(pending), P):
+        group_ids = pending[start:start + P]
+        group = []
+        for seq_id in group_ids:
+            K = scannet.read_intrinsic(index.intrinsic_path(seq_id))[:3, :3]
+            axis_align = scannet.read_axis_align(index.meta_path(seq_id))
+            names = index.frame_names(seq_id)
+            if args.max_frames:
+                names = names[: args.max_frames]
+            from PIL import Image
+
+            first = np.asarray(Image.open(index.image_path(seq_id, names[0])))
+            ih, iw = transforms.target_size(
+                *first.shape[:2], short_side=args.short_side,
+                max_size=args.max_size,
+            )
+            K_scaled = K.copy()
+            K_scaled[0] *= iw / first.shape[1]
+            K_scaled[1] *= ih / first.shape[0]
+            fids, T_wcs, keep = [], [], []
+            for i, name in enumerate(names):
+                T_cw = scannet.read_extrinsic(index.pose_path(seq_id, name))
+                if np.isnan(T_cw).any():
+                    continue
+                keep.append(i)
+                fids.append(int(name))
+                T_wcs.append(axis_align @ np.linalg.inv(T_cw))
+            frames = _LazyFrames(index, seq_id,
+                                 [names[i] for i in keep], ih, iw)
+            group.append({"frames": frames, "frame_ids": fids,
+                          "T_wcs": T_wcs, "K": K_scaled, "seq_id": seq_id})
+        t0 = time.time()
+        outs = runner.run_scenes(group, float(ih), float(iw))
+        n_frames = sum(len(s["frame_ids"]) for s in group)
+        print(f"group of {len(group)} scenes: {n_frames} frames in "
+              f"{time.time() - t0:.1f}s "
+              f"({n_frames / max(time.time() - t0, 1e-6):.1f} fps aggregate)")
+        for s, out in zip(group, outs):
+            seq_id = s["seq_id"]
+            os.makedirs(os.path.join(args.out_dir, seq_id), exist_ok=True)
+            with open(os.path.join(args.out_dir, seq_id, seq_id), "wb") as f:
+                pickle.dump({k: out[k] for k in
+                             ("tracks", "bboxes_qc", "bboxes_dl", "quadrics")},
+                            f)
+            print(f"  {seq_id}: {len(out['tracks'])} tracks")
+
+
 def main():
     from odam_tpu.utils import compile_cache
     compile_cache.enable()
@@ -140,6 +232,15 @@ def main():
                          "(reference semantics); fast: greedy decode + "
                          "closed-form projection (~23%% higher fps, "
                          "equivalence-tested)")
+    ap.add_argument("--solver", choices=["adam", "lm"], default="adam",
+                    help="mapping solver: adam (reference-exact) or lm "
+                         "(fast GN/LM with automatic Adam fallback)")
+    ap.add_argument("--decode", choices=["profile", "exact", "greedy"],
+                    default="profile",
+                    help="association decode (overrides --profile)")
+    ap.add_argument("--track_bbox", choices=["profile", "sampled", "exact"],
+                    default="profile",
+                    help="track re-projection mode (overrides --profile)")
     ap.add_argument("--short_side", type=int, default=800,
                     help="inference resize: shorter side (reference: 800)")
     ap.add_argument("--max_size", type=int, default=1333,
@@ -148,6 +249,10 @@ def main():
                     help="'i/n': process scenes i, i+n, i+2n, ... — shard a "
                          "val split across hosts/processes (outputs are "
                          "per-scene, so shards combine trivially)")
+    ap.add_argument("--scene_parallel", type=int, default=0,
+                    help="run N pipeline replicas concurrently, one scene "
+                         "per device of an N-device mesh (the SURVEY §2 DP "
+                         "plan; requires N <= len(jax.devices()))")
     args = ap.parse_args()
 
     from PIL import Image
@@ -156,10 +261,16 @@ def main():
 
     cfg = config_mod.merge_cfg([args.config_path])
     fast = args.profile == "fast"
+    decode = args.decode if args.decode != "profile" else (
+        "greedy" if fast else "exact"
+    )
+    track_bbox = args.track_bbox if args.track_bbox != "profile" else (
+        "exact" if fast else "sampled"
+    )
     detr, dparams, assoc, aparams = build_models(
         cfg, args.detector_ckpt, args.associator_ckpt, args.dtype,
         use_pallas={"auto": None, "on": True, "off": False}[args.use_pallas],
-        decode="greedy" if fast else "exact",
+        decode=decode,
     )
     pcfg = proc_mod.PipelineConfig(
         detect_threshold=args.detect_threshold,
@@ -167,7 +278,8 @@ def main():
         use_prior=args.use_prior,
         no_code=args.no_code,
         resize_on_device=args.device_resize,
-        track_bbox_mode="exact" if fast else "sampled",
+        track_bbox_mode=track_bbox,
+        optim_solver=args.solver,
     )
     pipe = proc_mod.OdamPipeline(detr, dparams, assoc, aparams, pcfg)
 
@@ -182,6 +294,11 @@ def main():
         i, n = (int(x) for x in args.shard.split("/"))
         scene_list = scene_list[i::n]
         print(f"shard {i}/{n}: {len(scene_list)} scenes")
+
+    if args.scene_parallel:
+        run_scene_parallel(args, index, scene_list, pcfg,
+                           detr, dparams, assoc, aparams)
+        return
 
     for seq_id in scene_list:
         out_dir = os.path.join(args.out_dir, seq_id)
