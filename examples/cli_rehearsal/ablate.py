@@ -28,8 +28,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _img_size(data):
+    with open(os.path.join(data, "rehearsal.yaml")) as f:
+        m = re.search(r"img_h:\s*(\d+)", f.read())
+    return m.group(1)
+
+
 def run_config(data, out_root, name, extra_args, env_extra, ckpts):
     out_dir = os.path.join(out_root, name)
+    img = _img_size(data)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = f"{REPO}:" + env.get("PYTHONPATH", "")
@@ -41,7 +48,7 @@ def run_config(data, out_root, name, extra_args, env_extra, ckpts):
          "--scans_root", os.path.join(data, "scans"),
          "--detector_ckpt", ckpts[0], "--associator_ckpt", ckpts[1],
          "--out_dir", out_dir, "--offline", "--use_prior",
-         "--short_side", "128", "--max_size", "128", "--dtype", "float32",
+         "--short_side", img, "--max_size", img, "--dtype", "float32",
          ] + extra_args,
         cwd=REPO, env=env, capture_output=True, text=True,
     )

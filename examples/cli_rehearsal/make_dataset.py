@@ -111,13 +111,13 @@ def main_hard(root: str) -> None:
     truncation, and pose noise (see hard.py).  Same on-disk layout as
     :func:`main`; evaluation seeds only — training uses held-out seeds via
     train.py's ODAM_HARD mode."""
-    from hard import (EVAL_SEEDS, hard_scene_annotation, hard_scene_id,
-                      hard_scene_views)
+    from hard import (EVAL_SEEDS, IMG as IMG_HARD, K as K_HARD,
+                      hard_scene_annotation, hard_scene_id, hard_scene_views)
 
     scans = os.path.join(root, "scans")
     annotations = []
     K44 = np.eye(4)
-    K44[:3, :3] = K
+    K44[:3, :3] = K_HARD
     aa_line = "axisAlignment = " + " ".join(str(v) for v in np.eye(4).reshape(-1))
 
     scene_ids = []
@@ -142,12 +142,14 @@ def main_hard(root: str) -> None:
     with open(os.path.join(root, "val.txt"), "w") as f:
         f.write("\n".join(scene_ids) + "\n")
     with open(os.path.join(root, "rehearsal.yaml"), "w") as f:
-        # 8-10 objects per scene need more query slots than the 3-4-object
-        # standard split
-        f.write(YAML.replace("num_queries: 12", "num_queries: 16"))
+        # more query slots + 192px frames for the crowded scenes
+        f.write(YAML.replace("num_queries: 12", "num_queries: 16")
+                    .replace("img_h: 128", f"img_h: {IMG_HARD}")
+                    .replace("img_w: 128", f"img_w: {IMG_HARD}"))
     n = sum(len(os.listdir(os.path.join(scans, s, "frames", "color")))
             for s in scene_ids)
-    print(f"wrote {len(scene_ids)} HARD scenes, {n} frames, {IMG}x{IMG}, to {root}")
+    print(f"wrote {len(scene_ids)} HARD scenes, {n} frames, "
+          f"{IMG_HARD}x{IMG_HARD}, to {root}")
 
 
 if __name__ == "__main__":

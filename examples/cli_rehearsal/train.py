@@ -177,7 +177,8 @@ def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
     from odam_tpu.data.datasets import pack_targets
 
     model, cfg = make_detr(16 if HARD else 12)
-    full = model.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)))
+    img_size = __import__("hard").IMG if HARD else IMG
+    full = model.init(jax.random.key(0), jnp.zeros((1, img_size, img_size, 3)))
     if checkpoint.latest_path(ckpt):
         full = checkpoint.restore(ckpt, full)
         print(f"resumed from {ckpt}")
@@ -265,13 +266,14 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
     samples = []
     rng = np.random.default_rng(7)
     if HARD:
-        from hard import TRAIN_SEEDS, hard_gt_world_tracks
+        from hard import IMG as img_size, TRAIN_SEEDS, hard_gt_world_tracks
 
         sources = [
             hard_gt_world_tracks(seed, np.random.default_rng(ns), noise=0.03)
             for seed in TRAIN_SEEDS for ns in range(2)
         ]
     else:
+        img_size = IMG
         sources = [
             gt_world_tracks(scene_id, np.random.default_rng(ns), noise=0.03)
             for scene_id in SCENES for ns in range(4)
@@ -282,7 +284,7 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
                 continue
             s = build_association_sample(
                 tracks, float(fid), T, N, W,
-                T_wc=T_wc, img_w=float(IMG), img_h=float(IMG),
+                T_wc=T_wc, img_w=float(img_size), img_h=float(img_size),
             )
             if s is not None:
                 P = 32 if HARD else 16  # pad variable-length gt pairs
