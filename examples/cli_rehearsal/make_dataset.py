@@ -142,8 +142,14 @@ def main_hard(root: str) -> None:
     with open(os.path.join(root, "val.txt"), "w") as f:
         f.write("\n".join(scene_ids) + "\n")
     with open(os.path.join(root, "rehearsal.yaml"), "w") as f:
-        # more query slots + 192px frames for the crowded scenes
+        # more query slots + 192px frames for the crowded scenes; stage-3
+        # backbone features (12x12 grid) — stage 4's whole-image receptive
+        # field makes held-out-layout generalization impossible for the
+        # tiny frozen-random-backbone model (measured: tp 243/249 on train
+        # layouts vs ~35% tp + 60% class error on eval layouts)
         f.write(YAML.replace("num_queries: 12", "num_queries: 16")
+                    .replace("dilation: False",
+                             "dilation: False\nbackbone_stage: 3")
                     .replace("img_h: 128", f"img_h: {IMG_HARD}")
                     .replace("img_w: 128", f"img_w: {IMG_HARD}"))
     n = sum(len(os.listdir(os.path.join(scans, s, "frames", "color")))

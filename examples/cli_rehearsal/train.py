@@ -64,7 +64,8 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
     from odam_tpu.data.datasets import pack_targets
 
     views = _train_views()
-    model, cfg = make_detr(16 if HARD else 12)
+    model, cfg = make_detr(16 if HARD else 12,
+                           backbone_stage=3 if HARD else 4)
     if checkpoint.latest_path(ckpt):
         # restore against abstract shapes: skips compiling the init program
         # (~150 s through this environment's remote compiler)
@@ -176,7 +177,8 @@ def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
     from odam_tpu.models import criterion as crit_mod, resnet
     from odam_tpu.data.datasets import pack_targets
 
-    model, cfg = make_detr(16 if HARD else 12)
+    model, cfg = make_detr(16 if HARD else 12,
+                           backbone_stage=3 if HARD else 4)
     img_size = __import__("hard").IMG if HARD else IMG
     full = model.init(jax.random.key(0), jnp.zeros((1, img_size, img_size, 3)))
     if checkpoint.latest_path(ckpt):
@@ -186,18 +188,21 @@ def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
     # cache backbone features for every train view (one-time inference)
     feat_cache = os.path.join(
         os.path.dirname(ckpt),
-        "rehearsal_feats_hard.npz" if HARD else "rehearsal_feats.npz",
+        f"rehearsal_feats_hard_s{cfg.backbone_stage}.npz" if HARD
+        else "rehearsal_feats.npz",
     )
     views = _train_views()
     if os.path.exists(feat_cache):
         feats = np.load(feat_cache)["feats"]
     else:
         backbone = resnet.ResNet(
-            stage_sizes=resnet.RESNET50_STAGES, return_stages=(4,),
-            dtype=jnp.float32,
+            stage_sizes=resnet.RESNET50_STAGES,
+            return_stages=(cfg.backbone_stage,), dtype=jnp.float32,
         )
         bb_params = {"params": full["params"]["backbone"]}
-        fwd = jax.jit(lambda imgs: backbone.apply(bb_params, imgs)[4])
+        fwd = jax.jit(
+            lambda imgs: backbone.apply(bb_params, imgs)[cfg.backbone_stage]
+        )
         outs = []
         for start in range(0, len(views), 16):
             imgs = np.stack([norm(v[0]) for v in views[start:start + 16]])
@@ -269,7 +274,7 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
         from hard import IMG as img_size, TRAIN_SEEDS, hard_gt_world_tracks
 
         sources = [
-            hard_gt_world_tracks(seed, np.random.default_rng(ns), noise=0.03)
+            hard_gt_world_tracks(seed, np.random.default_rng(ns), noise=0.05)
             for seed in TRAIN_SEEDS for ns in range(2)
         ]
     else:

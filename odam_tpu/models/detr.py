@@ -42,6 +42,10 @@ class DETRConfig:
     aux_loss: bool = True
     num_angle_bins: int = 30
     backbone: str = "resnet50"
+    backbone_stage: int = 4        # feature stage fed to the transformer;
+    # 4 = reference semantics (layer4, stride 32 — backbone.py:59-81).
+    # Lower stages give finer grids + more local receptive fields (the
+    # DC5-style resolution axis), used by the small-image rehearsal configs.
     dilation: bool = False
     position_embedding: str = "sine"
     dtype: Any = jnp.float32
@@ -68,6 +72,7 @@ class DETRConfig:
             dilation=bool(cfg.get("dilation", False)),
             position_embedding=cfg.get("position_embedding", "sine"),
             backbone=cfg.get("backbone", "resnet50"),
+            backbone_stage=int(cfg.get("backbone_stage", 4)),
             dtype=dtype,
             use_pallas=use_pallas,
         )
@@ -111,9 +116,10 @@ class DETR(nn.Module):
             pixel_mask = jnp.zeros((B, H, W), bool)
 
         feats = resnet.ResNet(
-            stage_sizes=resnet.RESNET50_STAGES, return_stages=(4,),
+            stage_sizes=resnet.RESNET50_STAGES,
+            return_stages=(c.backbone_stage,),
             dilate_last=c.dilation, dtype=c.dtype, name="backbone",
-        )(images)[4]
+        )(images)[c.backbone_stage]
         fh, fw = feats.shape[1], feats.shape[2]
         feat_mask = jax.image.resize(
             pixel_mask.astype(jnp.float32), (B, fh, fw), method="nearest"

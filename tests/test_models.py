@@ -205,3 +205,24 @@ def test_association_nll_picks_entries():
     valid = jnp.array([[True, False]])
     nll = float(assoc_mod.association_nll(Z, pairs, valid))
     np.testing.assert_allclose(nll, -np.log(0.25), rtol=1e-6)
+
+
+def test_detr_backbone_stage_selection():
+    """backbone_stage feeds an earlier ResNet stage to the transformer
+    (finer grid, more local receptive field) without changing the backbone
+    parameter tree — stage-4 checkpoints keep their backbone weights."""
+    import dataclasses
+
+    cfg3 = dataclasses.replace(TINY, backbone_stage=3)
+    m4, m3 = detr_mod.DETR(TINY), detr_mod.DETR(cfg3)
+    x = jnp.zeros((1, 64, 64, 3))
+    p4 = m4.init(jax.random.key(0), x)
+    p3 = m3.init(jax.random.key(0), x)
+    # identical backbone parameter tree (all stages always built)
+    assert (jax.tree_util.tree_structure(p4["params"]["backbone"])
+            == jax.tree_util.tree_structure(p3["params"]["backbone"]))
+    # input_proj consumes the stage's channel width (stage 3 = 1024)
+    assert p3["params"]["input_proj"]["kernel"].shape[2] == 1024
+    assert p4["params"]["input_proj"]["kernel"].shape[2] == 2048
+    out = m3.apply(p3, x)
+    assert out["pred_logits"].shape == (1, TINY.num_queries, TINY.num_classes + 1)
