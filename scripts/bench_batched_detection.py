@@ -74,8 +74,8 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--batches", default="1,4,8,16")
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--peak_tflops", type=float, default=394.0,
-                    help="chip peak (v5e bf16 = 394 TFLOP/s)")
+    ap.add_argument("--peak_tflops", type=float, default=197.0,
+                    help="chip peak (v5e bf16 = 197 TFLOP/s; 394 is int8)")
     args = ap.parse_args()
 
     from odam_tpu import config as config_mod
