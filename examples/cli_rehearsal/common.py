@@ -121,7 +121,8 @@ def scene_views(scene_id: str, n_frames: int = N_FRAMES, phase: float = 0.0):
     return views
 
 
-def make_detr(num_queries: int = 12, backbone_stage: int = 4):
+def make_detr(num_queries: int = 12, backbone_stage: int = 4,
+              backbone: str = "resnet50"):
     import jax.numpy as jnp
 
     from odam_tpu.models import detr as detr_mod
@@ -130,7 +131,7 @@ def make_detr(num_queries: int = 12, backbone_stage: int = 4):
         num_classes=8, num_queries=num_queries, hidden_dim=64, nheads=4,
         enc_layers=2, dec_layers=2, dim_feedforward=256,
         aux_loss=True, dropout=0.0, dtype=jnp.float32,
-        backbone_stage=backbone_stage,
+        backbone_stage=backbone_stage, backbone=backbone,
     )
     return detr_mod.DETR(cfg), cfg
 

@@ -27,10 +27,12 @@ import numpy as np
 
 from common import box_corners_np, cam_azi_np, look_at
 
-# The hard split renders at 192px (the standard split's 128px gives the
-# stride-32 backbone only a 4x4 feature grid — unable to separate 8-10
-# objects; measured F1 collapsed to 0).  6x6 tokens at 192px keeps the
-# tiny-model training CPU-feasible while making the task solvable-but-hard.
+# The hard split renders at 192px and feeds the transformer stage-3
+# backbone features (stride 16 -> 12x12 grid; rehearsal.yaml
+# backbone_stage: 3).  The standard split's 128px/stride-32 4x4 grid
+# cannot separate 8-10 objects (measured F1 collapsed to 0), and stage 4's
+# whole-image receptive field at this scale blocks held-out-layout
+# generalization for the tiny frozen-random-backbone model.
 IMG = 192
 K = np.array([[150.0, 0, 96], [0, 150.0, 96], [0, 0, 1]], np.float32)
 
@@ -202,6 +204,31 @@ def hard_scene_views(seed: int, n_frames: int = N_FRAMES_HARD,
             T_out[:3, :3] = T_out[:3, :3] @ expm(wx)
         views.append((k, T_out.astype(np.float32), img, rows, inst_ids))
     return views
+
+
+def hard_random_view(rng: np.random.Generator):
+    """One freshly generated training view: new procedural layout, new
+    background, random ring camera.  Layout seeds are drawn from
+    [100, 100000) — disjoint from EVAL_SEEDS by construction — so
+    end-to-end training never sees an evaluation layout (or any layout
+    twice, in expectation): generalization over layouts by construction
+    instead of by a fixed cached split.
+
+    Returns (img uint8, gt rows [n, 12]).
+    """
+    seed = int(rng.integers(100, 100000))
+    objects = make_hard_objects(seed)
+    background = _background(seed)
+    center = np.mean([o[0] for o in objects], axis=0)
+    center[2] = 0.45
+    phi = float(rng.uniform(0, 2 * np.pi))
+    cam = center + np.array([
+        RING_RADIUS * np.cos(phi), RING_RADIUS * np.sin(phi), RING_ELEVATION,
+    ])
+    T_true = look_at(cam, center).astype(np.float64)
+    frame_rng = np.random.default_rng(int(rng.integers(2 ** 31)))
+    img, rows, _ = render_hard(objects, T_true, background, frame_rng)
+    return img, rows
 
 
 def hard_gt_world_tracks(seed: int, rng: np.random.Generator,

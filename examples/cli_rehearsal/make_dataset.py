@@ -148,6 +148,7 @@ def main_hard(root: str) -> None:
         # tiny frozen-random-backbone model (measured: tp 243/249 on train
         # layouts vs ~35% tp + 60% class error on eval layouts)
         f.write(YAML.replace("num_queries: 12", "num_queries: 16")
+                    .replace('backbone: "resnet50"', 'backbone: "tiny"')
                     .replace("dilation: False",
                              "dilation: False\nbackbone_stage: 3")
                     .replace("img_h: 128", f"img_h: {IMG_HARD}")

@@ -60,24 +60,45 @@ def _train_views():
 
 
 def train_detector(seg: int, steps: int, ckpt: str) -> None:
+    """Full end-to-end detector training (backbone included).
+
+    HARD mode trains the lightweight trainable backbone
+    (models/resnet.TinyBackbone) on freshly generated layouts every step
+    (hard.hard_random_view): the frozen-random-ResNet feature cache cannot
+    generalize over held-out layouts (measured 98% vs 33% recall), so the
+    hard split's detector is the e2e one.
+    """
     from odam_tpu.models import criterion as crit_mod, training as train_mod
     from odam_tpu.data.datasets import pack_targets
 
-    views = _train_views()
-    model, cfg = make_detr(16 if HARD else 12,
-                           backbone_stage=3 if HARD else 4)
+    if HARD:
+        from hard import IMG as img_size, hard_random_view
+
+        model, cfg = make_detr(16, backbone_stage=3, backbone="tiny")
+    else:
+        img_size = IMG
+        views = _train_views()
+        model, cfg = make_detr(12)
     if checkpoint.latest_path(ckpt):
         # restore against abstract shapes: skips compiling the init program
         # (~150 s through this environment's remote compiler)
         shapes = jax.eval_shape(
-            lambda k: model.init(k, jnp.zeros((1, IMG, IMG, 3))), jax.random.key(0)
+            lambda k: model.init(k, jnp.zeros((1, img_size, img_size, 3))),
+            jax.random.key(0),
         )
         params = checkpoint.restore(ckpt, shapes)
         print(f"resumed from {ckpt}")
     else:
-        params = model.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)))
+        params = model.init(jax.random.key(0),
+                            jnp.zeros((1, img_size, img_size, 3)))
+    lr = float(os.environ.get("ODAM_LR", "5e-4"))
+    decay_steps = int(os.environ.get("ODAM_DECAY_STEPS", "0"))
+    if decay_steps:
+        import optax
+
+        lr = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.02)
     tcfg = train_mod.DetrTrainConfig(
-        lr=5e-4, lr_backbone=5e-4, clip_norm=5.0, weight_decay=0.0,
+        lr=lr, lr_backbone=lr, clip_norm=5.0, weight_decay=0.0,
         criterion=crit_mod.CriterionConfig(num_classes=cfg.num_classes),
     )
     tx = train_mod.make_detr_optimizer(params, tcfg)
@@ -87,9 +108,18 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
     B = int(os.environ.get("ODAM_TRAIN_BATCH", "8"))
     t0 = time.time()
     for it in range(steps):
-        idx = rng.integers(0, len(views), B)
-        imgs = np.stack([norm(views[i][0]) for i in idx])
-        targets = pack_targets([views[i][1] for i in idx], 12 if HARD else 8)
+        if HARD:
+            batch = []
+            while len(batch) < B:
+                img, rows = hard_random_view(rng)
+                if len(rows):
+                    batch.append((img, rows))
+            imgs = np.stack([norm(v[0]) for v in batch])
+            targets = pack_targets([v[1] for v in batch], 12)
+        else:
+            idx = rng.integers(0, len(views), B)
+            imgs = np.stack([norm(views[i][0]) for i in idx])
+            targets = pack_targets([views[i][1] for i in idx], 8)
         targets = crit_mod.Targets(*[jnp.asarray(x) for x in targets])
         state, m = step_fn(state, jnp.asarray(imgs), targets,
                            jax.random.key(seg * 10000 + it))

@@ -115,11 +115,19 @@ class DETR(nn.Module):
         if pixel_mask is None:
             pixel_mask = jnp.zeros((B, H, W), bool)
 
-        feats = resnet.ResNet(
-            stage_sizes=resnet.RESNET50_STAGES,
-            return_stages=(c.backbone_stage,),
-            dilate_last=c.dilation, dtype=c.dtype, name="backbone",
-        )(images)[c.backbone_stage]
+        if c.backbone == "tiny":
+            # lightweight trainable backbone (resnet.TinyBackbone) — same
+            # {stage: feature} contract and strides as the ResNet path
+            feats = resnet.TinyBackbone(
+                return_stages=(c.backbone_stage,), dtype=c.dtype,
+                name="backbone",
+            )(images)[c.backbone_stage]
+        else:
+            feats = resnet.ResNet(
+                stage_sizes=resnet.RESNET50_STAGES,
+                return_stages=(c.backbone_stage,),
+                dilate_last=c.dilation, dtype=c.dtype, name="backbone",
+            )(images)[c.backbone_stage]
         fh, fw = feats.shape[1], feats.shape[2]
         feat_mask = jax.image.resize(
             pixel_mask.astype(jnp.float32), (B, fh, fw), method="nearest"

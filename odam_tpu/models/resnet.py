@@ -114,3 +114,49 @@ def resnet50(dtype: Any = jnp.float32, dilate_last: bool = False,
              return_stages: Sequence[int] = (4,)) -> ResNet:
     return ResNet(stage_sizes=RESNET50_STAGES, return_stages=return_stages,
                   dilate_last=dilate_last, dtype=dtype)
+
+
+class TinyBackbone(nn.Module):
+    """Small fully-trainable conv backbone (GroupNorm residual stages).
+
+    The reference's backbone factory accepts any torchvision resnet
+    (backbone.py:84-94); this is the rebuild's lightweight member of that
+    family — no frozen statistics, so it trains end-to-end on a CPU host.
+    Used by the CLI rehearsal's end-to-end detector training (a frozen
+    *random* ResNet-50 cannot generalize over held-out layouts — measured
+    98% vs 33% recall train/eval) and by fast tests.
+
+    Emits the same ``{stage: NHWC feature}`` dict as :class:`ResNet` with
+    matching strides (stage s ⇒ stride 2**s); channels are
+    ``width * 2**(s-1)``.
+    """
+
+    width: int = 32
+    return_stages: Sequence[int] = (4,)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> dict[int, Array]:
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.GroupNorm(num_groups=8, dtype=self.dtype, name="gn1")(x)
+        x = nn.relu(x)
+        outputs: dict[int, Array] = {}
+        for stage in range(1, max(self.return_stages) + 1):
+            ch = self.width * 2 ** (stage - 1)
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                        use_bias=False, dtype=self.dtype,
+                        name=f"stage{stage}_down")(x)
+            x = nn.GroupNorm(num_groups=8, dtype=self.dtype,
+                             name=f"stage{stage}_gn1")(x)
+            x = nn.relu(x)
+            y = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                        dtype=self.dtype, name=f"stage{stage}_conv")(x)
+            y = nn.GroupNorm(num_groups=8, dtype=self.dtype,
+                             name=f"stage{stage}_gn2")(y)
+            x = nn.relu(x + y)
+            if stage in self.return_stages:
+                outputs[stage] = x
+        return outputs

@@ -136,6 +136,95 @@ def _scene(rng, n_objects, n_views):
     return objs
 
 
+def _install_assoc_stubs():
+    """torchvision stubs for importing the reference associator (same as
+    tests/test_model_parity.py)."""
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.15"
+    tv_models = types.ModuleType("torchvision.models")
+    tv_models_utils = types.ModuleType("torchvision.models._utils")
+    tv_models_utils.IntermediateLayerGetter = object
+    tv_models._utils = tv_models_utils
+    tv.models = tv_models
+    for name, mod in [("torchvision", tv), ("torchvision.models", tv_models),
+                      ("torchvision.models._utils", tv_models_utils)]:
+        sys.modules.setdefault(name, mod)
+
+
+def bench_association(iters: int = 10):
+    """Reference Associator.forward (torch CPU, production config) vs ours
+    (jitted JAX, same host) at pipeline geometry: 48 tracks x window 100,
+    30 detections.  The reference runs this per frame on its GPU; on this
+    shared-nothing CPU host the head-to-head isolates program structure
+    (per-layer Python dispatch vs one fused XLA program)."""
+    import time
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from odam_tpu.models.associator import Associator, AssociatorConfig
+
+    _install_assoc_stubs()
+    sys.path.insert(0, REF)
+    import importlib
+
+    ref_mod = importlib.import_module("src.models.associator")
+
+    torch.manual_seed(0)
+    config = {
+        "descriptor_dim": 256, "weights": "indoor",
+        "keypoint_encoder": [78, 256, 256],
+        "GNN_layers": ["self", "cross"] * 4,
+        "self_GNN_layers": ["self", "self"],
+        "match_threshold": 0.2, "sinkhorn_iterations": 100,
+    }
+    ref = ref_mod.Associator(config).eval()
+
+    rng = np.random.default_rng(0)
+    T, W, NV, MAXD = 48, 100, 25, 30
+    tracks_np = np.full((T, 79, W), -1.0, dtype=np.float32)
+    for t in range(T):
+        n = int(rng.integers(40, W))
+        tracks_np[t, 0, :n] = np.sort(rng.integers(0, 500, size=n))
+        tracks_np[t, 1:, :n] = rng.normal(size=(78, n)) * 0.5
+    dets_np = np.full((1, 79, MAXD), -1.0, dtype=np.float32)
+    dets_np[0, 0, :NV] = 500.0
+    dets_np[0, 1:, :NV] = rng.normal(size=(78, NV)) * 0.5
+    in_data = {"detections": torch.from_numpy(dets_np),
+               "tracks": torch.from_numpy(tracks_np),
+               "valid_list": [(T, NV)]}
+    with torch.no_grad():
+        ref(in_data, 0.1, eval_only=True, device="cpu")  # warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ref(in_data, 0.1, eval_only=True, device="cpu")
+    ref_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    import jax
+
+    ours = Associator(AssociatorConfig())
+    params = ours.init(
+        jax.random.key(0),
+        jnp.asarray(tracks_np.transpose(0, 2, 1))[None], jnp.ones((1, T), bool),
+        jnp.asarray(dets_np.transpose(0, 2, 1)), jnp.arange(MAXD)[None] < NV,
+        0.1,
+    )
+    fwd = jax.jit(lambda p, tr, tv_, de, dv: ours.apply(p, tr, tv_, de, dv, 0.1))
+    a = (jnp.asarray(tracks_np.transpose(0, 2, 1))[None], jnp.ones((1, T), bool),
+         jnp.asarray(dets_np.transpose(0, 2, 1)), jnp.arange(MAXD)[None] < NV)
+    float(jnp.sum(fwd(params, *a).log_assignment))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, *a)
+    float(jnp.sum(out.log_assignment))
+    ours_ms = (time.perf_counter() - t0) / iters * 1e3
+    print(f"association fwd (48trk x w100, 30 dets, Sinkhorn-100): "
+          f"reference torch-CPU {ref_ms:.0f} ms | ours jit-CPU {ours_ms:.0f} ms"
+          f" | ours TPU (BENCHMARKS.md): 3.0 ms")
+    return ref_ms, ours_ms
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--objects", type=int, default=8,
@@ -231,6 +320,8 @@ def main():
     ours_lm = time.perf_counter() - t0
     print(f"ours LM (30 it x 512 pts): {ours_lm:.2f}s")
 
+    ref_assoc_ms, ours_assoc_ms = bench_association()
+
     print(json.dumps({
         "host": "single-core CPU",
         "scene": {"objects": args.objects, "views": args.views,
@@ -240,6 +331,8 @@ def main():
         "ours_lm_scene_s": round(ours_lm, 2),
         "speedup_adam": round(ref_scene / ours_adam, 1),
         "speedup_lm": round(ref_scene / ours_lm, 1),
+        "assoc_ref_cpu_ms": round(ref_assoc_ms, 1),
+        "assoc_ours_cpu_ms": round(ours_assoc_ms, 1),
     }))
 
 

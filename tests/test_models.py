@@ -226,3 +226,28 @@ def test_detr_backbone_stage_selection():
     assert p4["params"]["input_proj"]["kernel"].shape[2] == 2048
     out = m3.apply(p3, x)
     assert out["pred_logits"].shape == (1, TINY.num_queries, TINY.num_classes + 1)
+
+
+def test_detr_tiny_backbone():
+    """backbone="tiny" (resnet.TinyBackbone) composes with DETR: same
+    {stage: feature} contract and strides as the ResNet path, fully
+    trainable (no frozen statistics) — the CLI rehearsal's end-to-end
+    CPU-training backbone."""
+    import dataclasses
+
+    from odam_tpu.models import resnet
+
+    feats = resnet.TinyBackbone(return_stages=(3, 4)).init_with_output(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3))
+    )[0]
+    assert feats[3].shape == (1, 4, 4, 128)   # stride 16, width*4
+    assert feats[4].shape == (1, 2, 2, 256)   # stride 32, width*8
+
+    cfg = dataclasses.replace(TINY, backbone="tiny", backbone_stage=3)
+    m = detr_mod.DETR(cfg)
+    p = m.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    out = m.apply(p, jnp.zeros((1, 64, 64, 3)))
+    assert out["pred_logits"].shape == (1, TINY.num_queries, TINY.num_classes + 1)
+    # no FrozenBatchNorm buffers anywhere in the tiny backbone
+    flat = jax.tree_util.tree_leaves_with_path(p["params"]["backbone"])
+    assert not any("running_mean" in jax.tree_util.keystr(k) for k, _ in flat)
