@@ -14,6 +14,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -52,10 +53,14 @@ def main() -> None:
     n_frames = 40 if on_tpu else 6
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    # Fused Pallas attention on TPU (measured -21% encoder attention,
-    # BENCHMARKS.md); the XLA path stays the numerical reference — checked
+    # Attention kernel selection (BENCHMARKS.md "Attention kernels"): the
+    # Pallas and XLA paths are within the dispatch-latency floor of each
+    # other at these shapes; ODAM_BENCH_PALLAS={on,off} A/Bs them at the
+    # pipeline level.  The XLA path stays the numerical reference — checked
     # against it on-device below.
-    dcfg = detr_mod.DETRConfig(dtype=dtype, use_pallas=on_tpu)
+    pallas_env = os.environ.get("ODAM_BENCH_PALLAS", "auto")
+    use_pallas = on_tpu if pallas_env == "auto" else pallas_env == "on"
+    dcfg = detr_mod.DETRConfig(dtype=dtype, use_pallas=use_pallas)
     detr = detr_mod.DETR(dcfg)
     dparams = detr.init(jax.random.key(0), jnp.zeros((1, img_h, img_w, 3)))
     acfg = assoc_mod.AssociatorConfig(dtype=dtype)

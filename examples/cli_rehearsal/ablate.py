@@ -71,7 +71,7 @@ def run_config(data, out_root, name, extra_args, env_extra, ckpts):
                   ev.stdout)
     prec, rec, f1 = (float(x) for x in m.groups())
     dt = time.time() - t0
-    print(f"{name::>40}: F1 {f1:.3f} (P {prec:.3f} R {rec:.3f}) [{dt:.0f}s]")
+    print(f"{name::>40}: F1 {f1:.3f} (P {prec:.3f} R {rec:.3f}) [{dt:.0f}s]", flush=True)
     return {"name": name, "precision": prec, "recall": rec, "f1": f1,
             "seconds": dt}
 
@@ -100,6 +100,11 @@ def main():
                   ("adam", "greedy", "sampled"),  # decode axis
                   ("adam", "exact", "exact"),     # projection axis
                   ("lm", "greedy", "exact")]      # full fast profile
+    def bank():
+        # written after every cell: a killed matrix keeps its finished cells
+        with open(os.path.join(args.out, "ablation.json"), "w") as f:
+            json.dump(results, f, indent=1)
+
     for solver, decode, bbox in combos:
         name = f"{solver}_{decode}_{bbox}"
         results.append(run_config(
@@ -107,6 +112,7 @@ def main():
             ["--solver", solver, "--decode", decode, "--track_bbox", bbox],
             {}, ckpts,
         ))
+        bank()
 
     # fault injection: a discriminative benchmark must catch this
     results.append(run_config(
@@ -114,9 +120,7 @@ def main():
         ["--solver", "adam", "--decode", "exact", "--track_bbox", "sampled"],
         {"ODAM_FAULT_INJECT": "stale_track_bbox"}, ckpts,
     ))
-
-    with open(os.path.join(args.out, "ablation.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    bank()
     base = results[0]["f1"]
     fault = results[-1]["f1"]
     print(f"\nbaseline F1 {base:.3f}; injected-bug F1 {fault:.3f} "
