@@ -166,6 +166,18 @@ def bench_association(iters: int = 10):
     from odam_tpu.models.associator import Associator, AssociatorConfig
 
     _install_assoc_stubs()
+    # remap .to("cuda") -> .to("cpu"): the reference associator hardcodes
+    # cuda placement (associator.py:320); same trick as test_model_parity
+    orig_to = torch.Tensor.to
+
+    def _to(self, *a, **k):
+        a = tuple("cpu" if (isinstance(x, (str, torch.device))
+                            and str(x) == "cuda") else x for x in a)
+        if str(k.get("device", "")) == "cuda":
+            k["device"] = "cpu"
+        return orig_to(self, *a, **k)
+
+    torch.Tensor.to = _to
     sys.path.insert(0, REF)
     import importlib
 
@@ -260,20 +272,26 @@ def main():
     finally:
         os.chdir(cwd)
 
-    t0 = time.perf_counter()
-    for Ps, boxes, init_t, init_dims, yaw in objs[: args.ref_objects]:
-        opt = ref_sq.SuperQuadricOptimizer(
-            init_t.copy(), yaw, init_dims.copy(), obj_class=5,
-            representation="super_quadric", prior=False,
-        )
-        opt.Q_init.sampler.n_samples = args.samples
-        gt_lines = [
-            {"x_min": np.array([1, 0, -b[0]]), "y_min": np.array([0, 1, -b[1]]),
-             "x_max": np.array([1, 0, -b[2]]), "y_max": np.array([0, 1, -b[3]])}
-            for b in boxes
-        ]
-        opt.run(gt_lines, None, Ps.astype(np.float32), n_iters=args.iters)
-    ref_dt = time.perf_counter() - t0
+    os.chdir(REF)  # SuperQuadricOptimizer opens ./src/super_quadric/scale_prior
+    try:
+        t0 = time.perf_counter()
+        for Ps, boxes, init_t, init_dims, yaw in objs[: args.ref_objects]:
+            opt = ref_sq.SuperQuadricOptimizer(
+                init_t.copy(), yaw, init_dims.copy(), obj_class=5,
+                representation="super_quadric", prior=False,
+            )
+            opt.Q_init.sampler.n_samples = args.samples
+            gt_lines = [
+                {"x_min": np.array([1, 0, -b[0]]),
+                 "y_min": np.array([0, 1, -b[1]]),
+                 "x_max": np.array([1, 0, -b[2]]),
+                 "y_max": np.array([0, 1, -b[3]])}
+                for b in boxes
+            ]
+            opt.run(gt_lines, None, Ps.astype(np.float32), n_iters=args.iters)
+        ref_dt = time.perf_counter() - t0
+    finally:
+        os.chdir(cwd)
     ref_scene = ref_dt / args.ref_objects * args.objects
     print(f"reference serial Adam ({args.ref_objects} objs measured): "
           f"{ref_dt:.1f}s -> {ref_scene:.1f}s / {args.objects}-object scene")

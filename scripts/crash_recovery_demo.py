@@ -25,6 +25,7 @@ Writes a JSON line with the measured outcome.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import re
@@ -103,16 +104,21 @@ def main():
                         env_extra, f)
         killed = None
         saves_seen = 0
+        # orbax stages the write under <ckpt>.tmp.orbax-checkpoint-tmp-<ts>
+        # and renames to <ckpt>.tmp only at commit, so the committed .tmp
+        # exists for microseconds; the staging dir spans the whole write and
+        # is the observable mid-save window.
+        in_save = lambda: bool(glob.glob(tmp_dir + "*"))  # noqa: E731
         while p.poll() is None:
-            if args.kill == "mid_save" and os.path.exists(tmp_dir):
+            if args.kill == "mid_save" and in_save():
                 saves_seen += 1
                 if saves_seen >= 2:  # let the first bank commit, kill the 2nd
                     os.kill(p.pid, signal.SIGKILL)
-                    killed = "SIGKILL mid-save (.tmp present)"
+                    killed = "SIGKILL mid-save (orbax staging dir present)"
                     break
-                while os.path.exists(tmp_dir) and p.poll() is None:
-                    time.sleep(0.05)  # wait out the first save
-            time.sleep(0.1)
+                while in_save() and p.poll() is None:
+                    time.sleep(0.02)  # wait out the first save
+            time.sleep(0.02)
         p.wait()
     if killed is None:
         killed = (f"natural exit rc={p.returncode}"
