@@ -25,8 +25,38 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _tpu_tunnel_up() -> bool:
+    """True if this environment's axon TPU tunnel accepts connections.
+
+    When the remote worker is down the plugin's device discovery HANGS
+    instead of failing (observed: >30 min on a dead tunnel), so probe the
+    relay ports directly and fall back to CPU with a log line rather than
+    hanging the bench."""
+    import socket
+
+    for port in (8082, 8083, 8087, 8092):
+        s = socket.socket()
+        s.settimeout(3)
+        try:
+            s.connect(("127.0.0.1", port))
+            s.close()
+            return True
+        except OSError:
+            continue
+    return False
+
+
 def main() -> None:
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _tpu_tunnel_up():
+        log("TPU tunnel unreachable (connection refused on relay ports) — "
+            "falling back to CPU so the bench completes; CPU numbers are "
+            "NOT the headline (see BENCHMARKS.md for TPU results)")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from odam_tpu.utils import compile_cache
@@ -139,8 +169,9 @@ def main() -> None:
         fids = np.arange(HIST, dtype=np.float32)
         win[t, :HIST, 0] = fids
         win[t, :HIST, 1] = t % 8
-        cx, cy = rng.uniform(200, img_w - 200), rng.uniform(200, img_h - 200)
-        w2, h2 = rng.uniform(40, 160), rng.uniform(40, 160)
+        mx, my = img_w // 4, img_h // 4  # margins scale with the CPU-debug size
+        cx, cy = rng.uniform(mx, img_w - mx), rng.uniform(my, img_h - my)
+        w2, h2 = rng.uniform(mx // 5 + 1, mx), rng.uniform(my // 5 + 1, my)
         win[t, :HIST, 2:6] = [cx - w2, cy - h2, cx + w2, cy + h2]
         win[t, :HIST, 6:9] = rng.uniform(0.3, 1.8, 3)
         win[t, :HIST, 9:12] = rng.uniform(-3, 3, 3) + [0, 0, 1.2]
@@ -247,7 +278,10 @@ def main() -> None:
         f"full 2000-frame scene: {scene_s:.1f}s")
 
     print(json.dumps({
-        "metric": "e2e frames/sec/chip, full online pipeline at ScanNet scale "
+        "metric": ("" if on_tpu else
+                   "CPU-FALLBACK (TPU tunnel unreachable; not the headline "
+                   "— TPU numbers in BENCHMARKS.md) ")
+                  + "e2e frames/sec/chip, full online pipeline at ScanNet scale "
                   f"({img_h}x{img_w}; detector+NMS+track-projection+associator+"
                   f"Sinkhorn+exact-Hungarian+store update, one jitted step, "
                   f"Pallas fused attention, 48-track store occupancy; "
