@@ -114,12 +114,19 @@ def _background(seed: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.float32)
 
 
-def render_hard(objects, T_wc, background, frame_rng):
+def render_hard(objects, T_wc, background, frame_rng, return_vis=False):
     """Painter's render with texture, shading, jitter + GT detector rows.
 
     Returns (img uint8, rows [n, 12], inst_ids [n]) — inst_ids give the
     OBJECT index per row (same-class duplicates need identity for GT
     association tracks; class alone is ambiguous here by design).
+
+    With ``return_vis`` a fourth array [n, 3] is appended: per row the
+    visible fraction of the projected bbox after occlusion + truncation,
+    and the visible region's width/height in pixels — what a detector can
+    actually see (rows themselves still list every projectable object,
+    including fully overpainted ones; that is the benchmark's GT
+    convention, analyze_visibility.py measures the resulting ceiling).
     """
     img = background.copy()
     T_cw = np.linalg.inv(T_wc)
@@ -143,6 +150,8 @@ def render_hard(objects, T_wc, background, frame_rng):
 
     rows = []
     inst_ids = []
+    full_boxes = {}
+    idmap = np.full((IMG, IMG), -1, np.int32) if return_vis else None
     for depth, (x0, y0, x1, y1), c, dims, yaw, cls, color, inst in sorted(
         order, key=lambda o: -o[0]
     ):
@@ -155,6 +164,9 @@ def render_hard(objects, T_wc, background, frame_rng):
         mid = (ix0 + ix1) // 2
         img[iy0:iy1, ix0:mid] = np.clip(block, 0, 255)
         img[iy0:iy1, mid:ix1] = np.clip(block * 0.82, 0, 255)
+        if return_vis:
+            idmap[iy0:iy1, ix0:ix1] = inst
+            full_boxes[inst] = (x1 - x0) * (y1 - y0)
 
         t_co = T_cw[:3, :3] @ c + T_cw[:3, 3]
         proj = K @ t_co
@@ -167,8 +179,17 @@ def render_hard(objects, T_wc, background, frame_rng):
              t_co[2], yaw - cam_azi]
         )
         inst_ids.append(inst)
-    return (np.clip(img, 0, 255).astype(np.uint8),
-            np.asarray(rows, np.float32), np.asarray(inst_ids, np.int32))
+    out = (np.clip(img, 0, 255).astype(np.uint8),
+           np.asarray(rows, np.float32), np.asarray(inst_ids, np.int32))
+    if not return_vis:
+        return out
+    vis = np.zeros((len(inst_ids), 3), np.float32)
+    for j, inst in enumerate(inst_ids):
+        ys, xs = np.nonzero(idmap == inst)
+        if len(xs):
+            vis[j] = (len(xs) / max(full_boxes[inst], 1e-6),
+                      xs.max() - xs.min() + 1, ys.max() - ys.min() + 1)
+    return out + (vis,)
 
 
 def hard_scene_views(seed: int, n_frames: int = N_FRAMES_HARD,
@@ -206,7 +227,17 @@ def hard_scene_views(seed: int, n_frames: int = N_FRAMES_HARD,
     return views
 
 
-def hard_random_view(rng: np.random.Generator):
+# Training-target visibility gate (hard_random_view): a GT row whose object
+# is essentially invisible (overpainted by closer objects / truncated to a
+# sliver) is NOISE as a supervision target — it teaches the detector to
+# hallucinate boxes from background pixels (measured: 238 fp over 48 eval
+# frames when trained on all rows).  The thresholds match the detectability
+# criterion in analyze_visibility.py.
+TRAIN_VIS_FRAC = 0.35
+TRAIN_VIS_PIX = 12
+
+
+def hard_random_view(rng: np.random.Generator, vis_filter: bool = True):
     """One freshly generated training view: new procedural layout, new
     background, random ring camera.  Layout seeds are drawn from
     [100, 100000) — disjoint from EVAL_SEEDS by construction — so
@@ -214,7 +245,10 @@ def hard_random_view(rng: np.random.Generator):
     twice, in expectation): generalization over layouts by construction
     instead of by a fixed cached split.
 
-    Returns (img uint8, gt rows [n, 12]).
+    Returns (img uint8, gt rows [n, 12]); with ``vis_filter`` (default)
+    rows for objects below the visibility gate are dropped from the
+    training targets (see TRAIN_VIS_FRAC above — the rendered image is
+    identical either way).
     """
     seed = int(rng.integers(100, 100000))
     objects = make_hard_objects(seed)
@@ -227,17 +261,26 @@ def hard_random_view(rng: np.random.Generator):
     ])
     T_true = look_at(cam, center).astype(np.float64)
     frame_rng = np.random.default_rng(int(rng.integers(2 ** 31)))
-    img, rows, _ = render_hard(objects, T_true, background, frame_rng)
+    img, rows, _, vis = render_hard(objects, T_true, background, frame_rng,
+                                    return_vis=True)
+    if vis_filter and len(rows):
+        keep = (vis[:, 0] >= TRAIN_VIS_FRAC) & (
+            np.minimum(vis[:, 1], vis[:, 2]) >= TRAIN_VIS_PIX)
+        rows = rows[keep]
     return img, rows
 
 
 def hard_gt_world_tracks(seed: int, rng: np.random.Generator,
-                         noise: float = 0.02, phase: float = 0.0):
+                         noise: float = 0.02, phase: float = 0.0, keep=None):
     """Per-INSTANCE GT observation tracks (82-dim world rows) + poses.
 
     Twin of common.gt_world_tracks for hard scenes — identity comes from
     the renderer's instance ids, because same-class duplicates make
     class-based identity ambiguous (that is the point of these scenes).
+
+    ``keep``: optional (frame_id, inst) -> bool filter; rows it rejects are
+    dropped (used by the recall diagnostics to restrict GT tracks to
+    frames where the object is actually visible, analyze_visibility.py).
     """
     objects = make_hard_objects(seed)
     tracks = [[] for _ in objects]
@@ -245,6 +288,8 @@ def hard_gt_world_tracks(seed: int, rng: np.random.Generator,
     for fid, T_wc, _, rows, inst_ids in hard_scene_views(seed, phase=phase):
         poses[fid] = T_wc
         for r, inst in zip(rows, inst_ids):
+            if keep is not None and not keep(int(fid), int(inst)):
+                continue
             c, dims, yaw, cls, _ = objects[int(inst)]
             row = np.full((82,), -1.0, np.float32)
             row[0] = fid

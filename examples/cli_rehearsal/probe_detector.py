@@ -29,11 +29,31 @@ from common import make_detr, norm  # noqa: E402
 from hard import hard_scene_views, IMG, EVAL_SEEDS  # noqa: E402
 
 
-def stats(model, params, seeds, phase=0.0, n_frames=16, thresh=0.6):
+def stats(model, params, seeds, phase=0.0, n_frames=16, thresh=0.6,
+          visible_only=False):
+    """Per-frame detection stats vs GT rows.
+
+    ``visible_only`` restricts GT to rows passing the detectability gate
+    (analyze_visibility.visible_flags) — the fair recall metric, since GT
+    rows list every projectable object including fully overpainted ones.
+    A detection matching only an invisible row still counts as fp in this
+    mode (it IS a hallucination).
+    """
     fwd = jax.jit(lambda p, x: model.apply(p, x))
+    flags = {}
+    if visible_only:
+        from analyze_visibility import visible_flags
+
+        for seed in seeds:
+            flags[seed] = visible_flags(seed)[1]
     tp = fp = fn = cls_err = 0
     for seed in seeds:
         for fid, T, img, rows, inst in hard_scene_views(seed, phase=phase)[:n_frames]:
+            if visible_only and phase == 0.0:
+                keep_rows = [r for r, i in zip(rows, inst)
+                             if flags[seed][fid, int(i)]]
+            else:
+                keep_rows = list(rows)
             out = fwd(params, jnp.asarray(norm(img))[None])
             logits = np.asarray(out["pred_logits"][0])
             boxes = np.asarray(out["pred_boxes"][0])
@@ -43,7 +63,7 @@ def stats(model, params, seeds, phase=0.0, n_frames=16, thresh=0.6):
             dets = [(int(prob[q, :-1].argmax()), boxes[q, :2])
                     for q in range(len(keep)) if keep[q]]
             used = set()
-            for r in rows:
+            for r in keep_rows:
                 gcls, gc = int(r[0]), r[1:3]
                 best, bestd = None, 0.08
                 for j, (dcls, dc) in enumerate(dets):
@@ -74,7 +94,12 @@ def main():
     tp, ce, fn, fp = stats(model, params, EVAL_SEEDS)
     rec = (tp + ce) / max(tp + ce + fn, 1)
     acc = tp / max(tp + ce, 1)
-    print(f"eval layouts: tp {tp} cls_err {ce} fn {fn} fp {fp} | "
+    print(f"eval layouts (all GT rows):   tp {tp} cls_err {ce} fn {fn} fp {fp} | "
+          f"recall {rec:.3f} class_acc {acc:.3f}")
+    tp, ce, fn, fp = stats(model, params, EVAL_SEEDS, visible_only=True)
+    rec = (tp + ce) / max(tp + ce + fn, 1)
+    acc = tp / max(tp + ce, 1)
+    print(f"eval layouts (visible only):  tp {tp} cls_err {ce} fn {fn} fp {fp} | "
           f"recall {rec:.3f} class_acc {acc:.3f}")
     if "--train" in sys.argv:
         tp, ce, fn, fp = stats(model, params, (100, 101, 102))
