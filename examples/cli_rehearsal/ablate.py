@@ -49,6 +49,10 @@ def run_config(data, out_root, name, extra_args, env_extra, ckpts):
          "--detector_ckpt", ckpts[0], "--associator_ckpt", ckpts[1],
          "--out_dir", out_dir, "--offline", "--use_prior",
          "--short_side", img, "--max_size", img, "--dtype", "float32",
+         # static mapping shapes right-sized to the rehearsal scenes
+         # (<=10 objects, 32 frames): identical results, ~16x less padded
+         # mapping compute per cell on the 1-core CPU host
+         "--max_objs", "24", "--max_views", "64",
          ] + extra_args,
         cwd=REPO, env=env, capture_output=True, text=True,
     )

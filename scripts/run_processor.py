@@ -241,6 +241,11 @@ def main():
     ap.add_argument("--track_bbox", choices=["profile", "sampled", "exact"],
                     default="profile",
                     help="track re-projection mode (overrides --profile)")
+    ap.add_argument("--max_objs", type=int, default=64,
+                    help="mapping-stage object-slot capacity (static shape; "
+                         "right-size to the scene for less padded compute)")
+    ap.add_argument("--max_views", type=int, default=256,
+                    help="mapping-stage view-slot capacity per object")
     ap.add_argument("--short_side", type=int, default=800,
                     help="inference resize: shorter side (reference: 800)")
     ap.add_argument("--max_size", type=int, default=1333,
@@ -280,6 +285,8 @@ def main():
         resize_on_device=args.device_resize,
         track_bbox_mode=track_bbox,
         optim_solver=args.solver,
+        max_objs=args.max_objs,
+        max_views=args.max_views,
     )
     pipe = proc_mod.OdamPipeline(detr, dparams, assoc, aparams, pcfg)
 

@@ -136,3 +136,61 @@ def test_fit_superquadric_demo(tmp_path):
     with open(r["paths"]["fitted"]) as f:
         head = f.read(2)
     assert head == "v "
+
+
+def test_hard_rehearsal_visibility_gate():
+    """Hard-rehearsal renderer visibility accounting
+    (examples/cli_rehearsal/hard.py + analyze_visibility.py): per-row
+    visible fractions are consistent with the painter's render, the
+    training-target gate drops only low-visibility rows, and the rendered
+    image is identical with and without the audit."""
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(root, "examples", "cli_rehearsal"))
+    try:
+        import hard
+        from analyze_visibility import visible_flags
+    finally:
+        sys.path.pop(0)
+
+    seed = 0
+    objects = hard.make_hard_objects(seed)
+    background = hard._background(seed)
+    views = hard.hard_scene_views(seed, pose_noise=False)
+    fid, T_wc, img_ref, rows_ref, inst_ref = views[0]
+    frame_rng = np.random.default_rng(4000 + seed * 100 + fid)
+    img, rows, inst, vis = hard.render_hard(
+        objects, T_wc, background, frame_rng, return_vis=True)
+    np.testing.assert_array_equal(img, img_ref)      # audit changes nothing
+    # (views render with a float64 pose internally; this re-render feeds the
+    # float32 copy back in -> epsilon-level row differences are expected)
+    np.testing.assert_allclose(rows, rows_ref, rtol=1e-4, atol=1e-4)
+    assert vis.shape == (len(rows), 3)
+    # fractions are pixel-count / float-bbox-area: integer painting can
+    # overshoot 1.0 by a rounding sliver on small boxes
+    assert (vis[:, 0] >= 0).all() and (vis[:, 0] <= 1.05).all()
+    # the nearest (last-painted, unclipped) object must be fully visible
+    assert vis[:, 0].max() > 0.95
+
+    # training gate: filtered rows are a subset; a generator draw sometimes
+    # drops rows (occlusion is common by construction)
+    rng = np.random.default_rng(3)
+    dropped = 0
+    for _ in range(10):
+        state = rng.bit_generator.state
+        img_a, rows_a = hard.hard_random_view(rng)
+        rng.bit_generator.state = state
+        img_b, rows_b = hard.hard_random_view(rng, vis_filter=False)
+        np.testing.assert_array_equal(img_a, img_b)
+        assert len(rows_a) <= len(rows_b)
+        dropped += len(rows_b) - len(rows_a)
+        # every kept row exists verbatim in the unfiltered set
+        for r in rows_a:
+            assert any(np.allclose(r, r2) for r2 in rows_b)
+    assert dropped > 0
+
+    # ceiling audit: flags line up with the renderer's row listing
+    objs, flags, listed, mean_vis = visible_flags(seed)
+    assert flags.shape == (hard.N_FRAMES_HARD, len(objs))
+    assert (flags.sum(0) <= listed).all()
