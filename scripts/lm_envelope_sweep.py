@@ -101,17 +101,26 @@ def run_sweep(n_views: int = 48, n_samples: int = 256,
     ad = optimizer.optimize_superquadrics(
         *args, n_iters=adam_iters, n_samples=n_samples, use_prior=False)
 
+    # A-posteriori residuals of both solutions: calibrates ACCEPT_RESID_MAX
+    # (the Adam residuals are the observation-noise floor a perfect solver
+    # pays; the gate must sit above that floor and below failed-LM levels).
+    lm_resid = np.asarray(lm_solver.normalized_fit_residual(
+        lm.params, *args[1:5], n_samples=n_samples))
+    ad_resid = np.asarray(lm_solver.normalized_fit_residual(
+        ad.params, *args[1:5], n_samples=n_samples))
+
     rows = []
     for o, (edge_frac, aspect, seed) in enumerate(cells):
         lm_iou, _ = host_boxes.box3d_iou(
             np.asarray(lm.corners[o], np.float64), gts[o])
         ad_iou, _ = host_boxes.box3d_iou(
             np.asarray(ad.corners[o], np.float64), gts[o])
-        rows.append((edge_frac, aspect, seed, lm_iou, ad_iou))
+        rows.append((edge_frac, aspect, seed, lm_iou, ad_iou,
+                     float(lm_resid[o]), float(ad_resid[o])))
 
     # Aggregate the worst delta per (edge_frac, aspect) cell over seeds.
     agg: dict = {}
-    for e, a, s, lm_iou, ad_iou in rows:
+    for e, a, s, lm_iou, ad_iou, _, _ in rows:
         d = lm_iou - ad_iou
         agg[(e, a)] = min(agg.get((e, a), np.inf), d)
 
@@ -139,6 +148,18 @@ def run_sweep(n_views: int = 48, n_samples: int = 256,
             best = min(ok_corners)
             print(f"suggested: ENVELOPE_EDGE_FRAC_MIN ~ {best[0]}, "
                   f"ENVELOPE_ASPECT_MIN ~ {best[1]} (add safety margin)")
+        # Residual-gate calibration: separate good LM fits (delta >= -0.02)
+        # from failures (delta < -0.05) by the normalized residual alone.
+        good = [r[5] for r in rows if r[3] - r[4] >= -0.02]
+        bad = [r[5] for r in rows if r[3] - r[4] < -0.05]
+        floor = [r[6] for r in rows]
+        print(f"normalized residual — Adam floor: max {max(floor):.3f}; "
+              f"good-LM: max {max(good):.3f} (n={len(good)}); "
+              f"failed-LM: min {min(bad) if bad else float('nan'):.3f} "
+              f"(n={len(bad)})")
+        if bad and max(good) < min(bad):
+            print(f"suggested ACCEPT_RESID_MAX in ({max(good):.3f}, "
+                  f"{min(bad):.3f})")
     return rows, agg, ok_corners
 
 

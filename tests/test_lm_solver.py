@@ -288,3 +288,66 @@ def test_lm_auto_fallback_recovers_near_planar():
     auto_iou, _ = host_boxes.box3d_iou(np.asarray(auto.corners[0], np.float64), gt)
     adam_iou, _ = host_boxes.box3d_iou(np.asarray(adam.corners[0], np.float64), gt)
     np.testing.assert_allclose(auto_iou, adam_iou, atol=1e-6)
+
+
+def test_normalized_fit_residual_separates_good_from_bad():
+    """The a-posteriori gate's statistic: near-zero at the true solution,
+    large at a wrong one, invariant to the image/box scale (normalized by
+    the observed box diagonal)."""
+    center = np.array([0.1, -0.2, 0.8])
+    dims = np.array([0.9, 0.6, 1.1])
+    Ps, boxes = _views(center, dims, 0.4, noise=0.0)
+    V = len(Ps)
+    good = sq.init_params(
+        jnp.asarray(center[None].astype(np.float32)),
+        jnp.asarray(np.array([0.4], np.float32)),
+        jnp.asarray(dims[None].astype(np.float32)),
+    )
+    bad = sq.init_params(
+        jnp.asarray((center + [0.8, 0.5, 0.3])[None].astype(np.float32)),
+        jnp.asarray(np.array([1.2], np.float32)),
+        jnp.asarray((dims * 0.4)[None].astype(np.float32)),
+    )
+    args = (jnp.asarray(boxes[None]), jnp.ones((1, V, 4), jnp.float32),
+            jnp.ones((1, V), jnp.float32), jnp.asarray(Ps[None]))
+    r_good = float(lm_solver.normalized_fit_residual(good, *args)[0])
+    r_bad = float(lm_solver.normalized_fit_residual(bad, *args)[0])
+    # The floor is nonzero even at the true parameters: box-corner-generated
+    # GT boxes circumscribe the superquadric surface (~0.08 measured), which
+    # is why ACCEPT_RESID_MAX sits at 0.2 — above the representation floor,
+    # below wrong-basin levels.
+    assert r_good < 0.6 * lm_solver.ACCEPT_RESID_MAX, r_good
+    assert r_bad > lm_solver.ACCEPT_RESID_MAX, r_bad
+
+
+def test_lm_auto_residual_gate_routes_to_adam():
+    """Acceptance-gate plumbing: with an impossibly strict threshold every
+    in-envelope object must take the Adam result bitwise; with the gate
+    disabled (accept_resid=None) the LM result must be returned."""
+    center = np.array([0.1, -0.2, 0.8])
+    dims = np.array([0.9, 0.6, 1.1])
+    Ps, boxes = _views(center, dims, 0.4)
+    V = len(Ps)
+    init = sq.init_params(
+        jnp.asarray((center + [0.3, -0.2, 0.1])[None].astype(np.float32)),
+        jnp.asarray(np.array([0.5], np.float32)),
+        jnp.asarray((dims * 1.3)[None].astype(np.float32)),
+    )
+    args = (init, jnp.asarray(boxes[None]), jnp.ones((1, V, 4), jnp.float32),
+            jnp.ones((1, V), jnp.float32), jnp.asarray(Ps[None]),
+            jnp.ones((1,), bool), None)
+    kw = dict(n_iters=10, n_samples=256, adam_iters=40, adam_samples=256,
+              use_prior=False)
+    assert bool(lm_solver.lm_envelope_ok(init, args[2], args[3])[0])
+    strict = lm_solver.optimize_superquadrics_auto(
+        *args, accept_resid=0.0, **kw)
+    adam = optimizer.optimize_superquadrics(
+        *args, n_iters=40, n_samples=256, use_prior=False)
+    np.testing.assert_allclose(
+        np.asarray(strict.corners[0]), np.asarray(adam.corners[0]), atol=1e-6)
+    off = lm_solver.optimize_superquadrics_auto(
+        *args, accept_resid=None, **kw)
+    lm = lm_solver.optimize_superquadrics_lm(
+        *args, n_iters=10, n_samples=256, use_prior=False)
+    np.testing.assert_allclose(
+        np.asarray(off.corners[0]), np.asarray(lm.corners[0]), atol=1e-6)
