@@ -291,6 +291,51 @@ def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
           f"loss {float(total):.2f}")
 
 
+def _ghost_rows(fid: float, T_wc: np.ndarray, rng: np.random.Generator,
+                rate: float = 0.7) -> np.ndarray | None:
+    """0-2 transient false-positive detection rows (82-dim) for one frame.
+
+    Each ghost is a geometrically self-consistent detection of an object
+    that does not exist — fresh random geometry every frame, so no two
+    ghosts are the same object and the dustbin target is always correct
+    supervision (a persistent ghost would wrongly teach non-attachment of
+    consistent observations).
+    """
+    from common import box_corners_np, cam_azi_np
+    from hard import CLASS_DIMS, IMG as HIMG, K as HK
+
+    if rng.random() > rate:
+        return None
+    rows = []
+    for _ in range(int(rng.integers(1, 3))):
+        cls = int(rng.integers(0, 8))
+        dims = np.asarray(CLASS_DIMS[cls]) * rng.uniform(0.7, 1.3, 3)
+        c = np.array([rng.uniform(-1.8, 1.8), rng.uniform(-1.8, 1.8),
+                      dims[2] / 2])
+        yaw = float(rng.uniform(0, np.pi))
+        T_cw = np.linalg.inv(T_wc)
+        pc = box_corners_np(dims, yaw, c) @ T_cw[:3, :3].T + T_cw[:3, 3]
+        if pc[:, 2].min() < 0.3:
+            continue
+        uv = pc @ HK.T
+        uv = uv[:, :2] / uv[:, 2:]
+        x0, y0 = uv.min(0)
+        x1, y1 = uv.max(0)
+        if min(x1, HIMG) - max(x0, 0) < 5 or min(y1, HIMG) - max(y0, 0) < 5:
+            continue
+        row = np.full((82,), -1.0, np.float32)
+        row[0] = fid
+        row[1] = cls
+        row[2:6] = [x0, y0, x1, y1]
+        row[6:9] = dims
+        row[9:12] = c
+        row[12] = yaw
+        row[13] = float(rng.uniform(0.6, 0.9))  # fp score band
+        row[78:82] = row[2:6]
+        rows.append(row)
+    return np.stack(rows) if rows else None
+
+
 def train_associator(seg: int, steps: int, ckpt: str) -> None:
     import optax
 
@@ -303,23 +348,45 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
     if HARD:
         from hard import IMG as img_size, TRAIN_SEEDS, hard_gt_world_tracks
 
-        sources = [
-            hard_gt_world_tracks(seed, np.random.default_rng(ns), noise=0.05)
-            for seed in TRAIN_SEEDS for ns in range(2)
-        ]
+        # Domain-match the training stream to what the pipeline's associator
+        # actually receives (the recall ladder measured fragmentation as the
+        # association stage's loss — 0.750 -> 0.667 on oracle detections):
+        # 1. visibility-gate track rows with the detectability criterion —
+        #    a detector cannot observe occluded/truncated objects, so real
+        #    track histories have OCCLUSION GAPS; dense GT histories never
+        #    taught re-attachment after a gap;
+        # 2. inject transient false-positive detections (ghost rows) that
+        #    must map to the dustbin — the measured detector emits ~5
+        #    fp/frame, GT-derived streams contain none.
+        import analyze_visibility as av
+
+        sources = []
+        for seed in TRAIN_SEEDS:
+            _, flags, _, _ = av.visible_flags(seed)
+
+            def keep(fid, inst, flags=flags):
+                return bool(flags[fid, inst])
+
+            for ns in range(2):
+                sources.append(hard_gt_world_tracks(
+                    seed, np.random.default_rng(ns), noise=0.05, keep=keep))
     else:
         img_size = IMG
         sources = [
             gt_world_tracks(scene_id, np.random.default_rng(ns), noise=0.03)
             for scene_id in SCENES for ns in range(4)
         ]
+    ghost_rng = np.random.default_rng(17)
     for tracks, poses in sources:
         for fid, T_wc in poses.items():
             if fid == 0:
                 continue
+            extra = (_ghost_rows(float(fid), T_wc, ghost_rng)
+                     if HARD else None)
             s = build_association_sample(
                 tracks, float(fid), T, N, W,
                 T_wc=T_wc, img_w=float(img_size), img_h=float(img_size),
+                extra_dets=extra,
             )
             if s is not None:
                 P = 32 if HARD else 16  # pad variable-length gt pairs

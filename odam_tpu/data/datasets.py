@@ -151,13 +151,20 @@ def build_association_sample(tracks: list[np.ndarray], frame_id: float,
                              max_tracks: int, max_dets: int, window: int,
                              T_wc: np.ndarray | None = None,
                              img_w: float | None = None,
-                             img_h: float | None = None) -> dict | None:
+                             img_h: float | None = None,
+                             extra_dets: np.ndarray | None = None) -> dict | None:
     """One associator training sample at a given frame.
 
     Returns dict with tracks [T, W, 79], track_mask [T], dets [N, 79],
     det_mask [N], gt_pairs [P, 2] (incl. dustbin targets for unmatched
     slots), pair_valid [P] — or None if the frame yields no detections or no
     history.
+
+    ``extra_dets``: optional [K, 82] distractor rows appended as detections
+    with dustbin targets — false-positive augmentation.  Real detectors
+    hallucinate transient boxes (the hard rehearsal measured 238 fp over 48
+    frames); an associator trained only on GT-derived detections has never
+    seen one and learns to attach every geometrically plausible box.
     """
     hist, dets, gt = [], [], []
     for t_idx, track in enumerate(tracks):
@@ -170,6 +177,8 @@ def build_association_sample(tracks: list[np.ndarray], frame_id: float,
     if not hist or not dets:
         return None
     hist = hist[:max_tracks]
+    if extra_dets is not None:
+        dets.extend((-1, row) for row in np.asarray(extra_dets))
     dets = dets[:max_dets]
     slot_of = {t_idx: s for s, (t_idx, _) in enumerate(hist)}
 

@@ -140,6 +140,35 @@ def test_association_sample_builder():
     assert (2, 4) in pairs  # track 2 -> detection dustbin column N=4
 
 
+def test_association_sample_extra_dets_go_to_dustbin():
+    """False-positive augmentation: extra_dets append as detections whose
+    GT target is the dustbin row, never a track slot."""
+    rng = np.random.default_rng(0)
+    tracks = []
+    for t in range(2):
+        rows = np.full((6, 82), -1.0, np.float32)
+        rows[:, 0] = np.arange(6)
+        rows[:, 1] = t
+        rows[:, 9:12] = rng.normal(size=3)
+        tracks.append(rows)
+    ghosts = np.full((2, 82), -1.0, np.float32)
+    ghosts[:, 0] = 3.0
+    ghosts[:, 1] = 5
+    ghosts[:, 9:12] = rng.normal(size=(2, 3))
+
+    s = datasets.build_association_sample(
+        tracks, 3.0, max_tracks=6, max_dets=5, window=5, extra_dets=ghosts)
+    assert s["det_mask"].sum() == 4          # 2 real + 2 ghosts
+    pairs = {tuple(p) for p in s["gt_pairs"]}
+    assert (0, 0) in pairs and (1, 1) in pairs
+    # ghost detections 2, 3 -> dustbin row T=6
+    assert (6, 2) in pairs and (6, 3) in pairs
+    # the det cap still applies to the combined list
+    s2 = datasets.build_association_sample(
+        tracks, 3.0, max_tracks=6, max_dets=3, window=5, extra_dets=ghosts)
+    assert s2["det_mask"].sum() == 3
+
+
 def test_associator_dataset_batches():
     rng = np.random.default_rng(1)
     from scripts.train_associator import synthetic_scenes
