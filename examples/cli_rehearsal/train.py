@@ -330,7 +330,12 @@ def _ghost_rows(fid: float, T_wc: np.ndarray, rng: np.random.Generator,
         row[6:9] = dims
         row[9:12] = c
         row[12] = yaw
-        row[13] = float(rng.uniform(0.6, 0.9))  # fp score band
+        # Same score band as the (jittered) real rows: score must NOT
+        # separate ghosts from real detections, or the model learns a
+        # score->dustbin shortcut and rejects real low-score detections
+        # at inference (measured: recall 0.417 -> 0.333 with a 0.6-0.9
+        # ghost band against 0.95 real rows).
+        row[13] = float(rng.uniform(0.6, 1.0))
         row[78:82] = row[2:6]
         rows.append(row)
     return np.stack(rows) if rows else None
@@ -368,8 +373,15 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
                 return bool(flags[fid, inst])
 
             for ns in range(2):
-                sources.append(hard_gt_world_tracks(
-                    seed, np.random.default_rng(ns), noise=0.05, keep=keep))
+                tracks, poses = hard_gt_world_tracks(
+                    seed, np.random.default_rng(ns), noise=0.05, keep=keep)
+                # score jitter: GT rows carry a constant 0.95; real
+                # detections span the whole kept band.  Matched to the
+                # ghost band so score carries no real-vs-fp signal.
+                srng = np.random.default_rng(1000 + seed * 10 + ns)
+                for t in tracks:
+                    t[:, 13] = srng.uniform(0.6, 1.0, len(t))
+                sources.append((tracks, poses))
     else:
         img_size = IMG
         sources = [
