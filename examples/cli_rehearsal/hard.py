@@ -65,6 +65,8 @@ POSE_NOISE_T = 0.015       # meters, written-pose perturbation
 POSE_NOISE_R = 0.01        # radians
 
 EVAL_SEEDS = (0, 1, 2)     # on-disk eval scenes: scene97<seed>_00
+TUNE_SEEDS = (50, 51, 52)  # operating-point tuning split (never evaluated,
+#                            never trained on: training draws [100, 100000))
 TRAIN_SEEDS = tuple(range(100, 120))  # held-out layouts for training
 # (20 layouts: the tiny random-backbone DETR memorizes 5 — measured
 # tp 246/249 on train layouts vs 77/224 on eval layouts)

@@ -105,14 +105,19 @@ def main(root: str) -> None:
     print(f"wrote {len(SCENES)} scenes, {n} frames, {IMG}x{IMG}, to {root}")
 
 
-def main_hard(root: str) -> None:
+def main_hard(root: str, seeds=None) -> None:
     """Write the HARD (discriminative) val split: procedural 8-10-object
     scenes with same-class duplicates, texture, occlusion, border
     truncation, and pose noise (see hard.py).  Same on-disk layout as
     :func:`main`; evaluation seeds only — training uses held-out seeds via
-    train.py's ODAM_HARD mode."""
+    train.py's ODAM_HARD mode.  ``seeds`` overrides EVAL_SEEDS (used by
+    --tune to emit the operating-point tuning split, hard.TUNE_SEEDS —
+    thresholds are selected there, never on the eval scenes)."""
     from hard import (EVAL_SEEDS, IMG as IMG_HARD, K as K_HARD,
                       hard_scene_annotation, hard_scene_id, hard_scene_views)
+
+    if seeds is None:
+        seeds = EVAL_SEEDS
 
     scans = os.path.join(root, "scans")
     annotations = []
@@ -121,7 +126,7 @@ def main_hard(root: str) -> None:
     aa_line = "axisAlignment = " + " ".join(str(v) for v in np.eye(4).reshape(-1))
 
     scene_ids = []
-    for seed in EVAL_SEEDS:
+    for seed in seeds:
         scene_id = hard_scene_id(seed)
         scene_ids.append(scene_id)
         base = os.path.join(scans, scene_id, "frames")
@@ -161,7 +166,13 @@ def main_hard(root: str) -> None:
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if "--hard" in sys.argv:
+    if "--tune" in sys.argv:
+        from hard import TUNE_SEEDS
+
+        main_hard(args[0] if args else
+                  os.path.join(os.path.dirname(__file__), "data_hard_tune"),
+                  seeds=TUNE_SEEDS)
+    elif "--hard" in sys.argv:
         main_hard(args[0] if args else
                   os.path.join(os.path.dirname(__file__), "data_hard"))
     else:

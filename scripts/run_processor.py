@@ -203,6 +203,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_path", default="configs/detr_scan_net.yaml")
     ap.add_argument("--detect_threshold", default=0.6, type=float)
+    ap.add_argument("--attach_threshold", default=0.8, type=float,
+                    help="Sinkhorn attach/new-track score gate (the "
+                         "reference's hardcoded 0.8, processor.py:226-229); "
+                         "exposed for operating-point tuning")
     ap.add_argument("--use_prior", action="store_true")
     ap.add_argument("--no_code", action="store_true")
     ap.add_argument("--representation", default="super_quadric",
@@ -279,6 +283,7 @@ def main():
     )
     pcfg = proc_mod.PipelineConfig(
         detect_threshold=args.detect_threshold,
+        score_threshold=args.attach_threshold,
         representation=args.representation,
         use_prior=args.use_prior,
         no_code=args.no_code,
