@@ -194,3 +194,64 @@ def test_hard_rehearsal_visibility_gate():
     objs, flags, listed, mean_vis = visible_flags(seed)
     assert flags.shape == (hard.N_FRAMES_HARD, len(objs))
     assert (flags.sum(0) <= listed).all()
+
+
+def test_audit_misses_modes(tmp_path):
+    """Per-object miss audit (examples/cli_rehearsal/audit_misses.py):
+    a fabricated result dir with known defects must be classified into the
+    right loss modes — matched / short_track / no_track — replicating the
+    evaluator's greedy matching on real pickles."""
+    import pickle
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(root, "examples", "cli_rehearsal"))
+    try:
+        import hard
+        from audit_misses import audit_scene
+    finally:
+        sys.path.pop(0)
+
+    from odam_tpu.eval import scan2cad as s2c
+    from odam_tpu.mapping.prior import CLASS_MAPPER
+    from odam_tpu.utils import host_boxes
+
+    seed = 0
+    scene = hard.hard_scene_id(seed)
+    gts = s2c.parse_scan2cad_annotations(hard.hard_scene_annotation(seed))
+    inv = {v: k for k, v in CLASS_MAPPER.items()}
+
+    # find two GT objects isolated from every other GT box (IoU <= 0.05),
+    # so corrupting their own track provably leaves no other claimant
+    iso = []
+    for i, (_, bi) in enumerate(gts):
+        worst = max(
+            host_boxes.box3d_iou(np.asarray(bi), np.asarray(bj))[0]
+            for j, (_, bj) in enumerate(gts) if j != i
+        )
+        if worst <= 0.05:
+            iso.append(i)
+    assert len(iso) >= 2, "hard scene 0 should have >=2 isolated objects"
+    short_i, lost_i = iso[0], iso[1]
+
+    tracks, boxes = [], []
+    for g, (cat, corners) in enumerate(gts):
+        t = np.full((12, 82), -1.0, np.float32)
+        t[:, 1] = inv[cat]
+        tracks.append(t)
+        boxes.append(np.asarray(corners, np.float32))
+    tracks[short_i] = tracks[short_i][:5]      # starves min_views
+    boxes[lost_i] = boxes[lost_i] + 100.0      # track box nowhere near GT
+
+    os.makedirs(os.path.join(tmp_path, scene))
+    with open(os.path.join(tmp_path, scene, scene), "wb") as f:
+        pickle.dump({"tracks": tracks, "bboxes_qc": boxes}, f)
+
+    rows, fps = audit_scene(seed, str(tmp_path))
+    modes = {r["gt"]: r["mode"] for r in rows}
+    assert modes[short_i] == "short_track"
+    assert modes[lost_i] == "no_track"
+    matched = [g for g, m in modes.items() if m == "matched"]
+    assert len(matched) == len(gts) - 2
+    # the displaced >=min_views prediction surfaces as a precision hit
+    assert any(p["track"] == lost_i for p in fps)
