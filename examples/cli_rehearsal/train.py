@@ -96,7 +96,12 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
     if decay_steps:
         import optax
 
-        lr = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.02)
+        base = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.02)
+        # crash-isolated segments resume MID-schedule: segment s of n steps
+        # starts at global step s*n (the TPU-worker fault mitigation runs
+        # uniform segments, so seg*steps is the global offset)
+        offset = seg * steps
+        lr = lambda count: base(count + offset)  # noqa: E731
     tcfg = train_mod.DetrTrainConfig(
         lr=lr, lr_backbone=lr, clip_norm=5.0, weight_decay=0.0,
         criterion=crit_mod.CriterionConfig(num_classes=cfg.num_classes),
