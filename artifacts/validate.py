@@ -96,6 +96,10 @@ def eval_associator() -> float:
 
     keys = ("tracks", "track_mask", "detections", "det_mask",
             "gt_pairs", "pair_valid")
+    assert len(samples) >= 8, (
+        f"only {len(samples)} eval association samples materialized; the "
+        "held-out stream is broken (not the checkpoint) — np.mean over zero "
+        "batches would NaN the NLL assertion")
     vals = []
     for i in range(0, len(samples) - 7, 8):
         batch = [jnp.asarray(np.stack([samples[j][k] for j in range(i, i + 8)]))

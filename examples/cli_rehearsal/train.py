@@ -87,6 +87,26 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
             jax.random.key(0),
         )
         params = checkpoint.restore(ckpt, shapes)
+        # Verify the CLI segment against the checkpoint's own position: a
+        # wrong seg silently trains with a wrong cosine offset and corrupts
+        # the declared 18k-step provenance (ADVICE r3).  Legacy checkpoints
+        # without odam_meta.json fall back to trusting the argument.
+        meta = checkpoint.load_meta(ckpt)
+        if meta is not None and "global_step" in meta:
+            at = int(meta["global_step"])
+            # exact boundary (at == seg*steps) or a mid-segment bank left by
+            # a crash (seg*steps < at < (seg+1)*steps) both resume seg; a
+            # bank from any other segment is a provenance error
+            if at // steps != seg and at != seg * steps:
+                raise SystemExit(
+                    f"checkpoint {ckpt} is at global step {at}; segment "
+                    f"{seg} of {steps}-step segments expects "
+                    f"[{seg * steps}, {(seg + 1) * steps}). Resume with "
+                    f"seg {at // steps} (see TRAINLOG.md)."
+                )
+        else:
+            print(f"WARNING: {ckpt} carries no global_step meta; trusting "
+                  f"seg={seg} (verify against artifacts/TRAINLOG.md)")
         print(f"resumed from {ckpt}")
     else:
         params = model.init(jax.random.key(0),
@@ -131,11 +151,15 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
         if (it + 1) % int(os.environ.get("ODAM_BANK", "150")) == 0:
             # bank progress: the TPU worker kernel-faults after a few hundred
             # sustained train steps; a crashed segment keeps what it saved
-            checkpoint.save(ckpt, state.params)
+            checkpoint.save(ckpt, state.params,
+                            meta={"global_step": seg * steps + it + 1,
+                                  "seg": seg, "seg_steps": steps})
             print(f"  banked at step {it + 1}, loss {float(m['total']):.2f}",
                   flush=True)
     total = float(m["total"])  # forces completion
-    checkpoint.save(ckpt, state.params)
+    checkpoint.save(ckpt, state.params,
+                    meta={"global_step": (seg + 1) * steps,
+                          "seg": seg, "seg_steps": steps})
     print(f"detector segment {seg}: {steps} steps in {time.time() - t0:.0f}s, "
           f"loss {total:.2f}")
 
@@ -288,10 +312,14 @@ def train_detector_frozen(seg: int, steps: int, ckpt: str) -> None:
         ])
         head_params, opt_state, total = step_fn(head_params, opt_state, f, targets)
         if (it + 1) % int(os.environ.get("ODAM_BANK", "500")) == 0:
-            checkpoint.save(ckpt, merged())
+            checkpoint.save(ckpt, merged(),
+                            meta={"global_step": seg * steps + it + 1,
+                                  "seg": seg, "seg_steps": steps})
             print(f"  banked at step {it + 1}, loss {float(total):.2f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
-    checkpoint.save(ckpt, merged())
+    checkpoint.save(ckpt, merged(),
+                    meta={"global_step": (seg + 1) * steps,
+                          "seg": seg, "seg_steps": steps})
     print(f"frozen-head segment {seg}: {steps} steps in {time.time() - t0:.0f}s, "
           f"loss {float(total):.2f}")
 
@@ -440,7 +468,9 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
         }
         state, loss = step_fn(state, *batch.values())
     final = float(loss)
-    checkpoint.save(ckpt, state.params)
+    checkpoint.save(ckpt, state.params,
+                    meta={"global_step": (seg + 1) * steps, "seg": seg,
+                          "seg_steps": steps})
     print(f"associator segment {seg}: {steps} steps in {time.time() - t0:.0f}s, "
           f"nll {final:.3f}")
 

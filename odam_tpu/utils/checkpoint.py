@@ -12,7 +12,10 @@ from typing import Any
 import jax
 
 
-def save(path: str, tree: Any) -> None:
+METAFILE = "odam_meta.json"
+
+
+def save(path: str, tree: Any, meta: dict | None = None) -> None:
     """Crash-safe checkpoint write.
 
     orbax's ``force=True`` deletes the destination before committing the new
@@ -22,7 +25,14 @@ def save(path: str, tree: Any) -> None:
     renames; the previous checkpoint survives as ``<path>.bak`` until the
     swap completes, and :func:`restore` falls back to it if a crash landed
     between the renames.
+
+    ``meta`` (JSON-serializable, e.g. ``{"global_step": 4500}``) is written
+    as ``odam_meta.json`` *inside* the checkpoint directory before the swap,
+    so it is atomically bound to the exact array state it describes — a
+    resume can verify its schedule offset against :func:`load_meta` instead
+    of trusting CLI arguments (orbax ignores the extra file on restore).
     """
+    import json
     import shutil
 
     import orbax.checkpoint as ocp
@@ -33,6 +43,9 @@ def save(path: str, tree: Any) -> None:
         shutil.rmtree(tmp)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, jax.tree.map(lambda x: x, tree), force=True)
+    if meta is not None:
+        with open(os.path.join(tmp, METAFILE), "w") as f:
+            json.dump(meta, f)
     if os.path.exists(bak):
         shutil.rmtree(bak)
     if os.path.exists(path):
@@ -40,6 +53,21 @@ def save(path: str, tree: Any) -> None:
     os.rename(tmp, path)
     if os.path.exists(bak):
         shutil.rmtree(bak)
+
+
+def load_meta(path: str) -> dict | None:
+    """The ``meta`` dict saved alongside the newest intact checkpoint for
+    ``path`` (see :func:`save`), or None for metaless/legacy checkpoints."""
+    import json
+
+    p = latest_path(path)
+    if p is None:
+        return None
+    mf = os.path.join(p, METAFILE)
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as f:
+        return json.load(f)
 
 
 def _committed(p: str) -> bool:

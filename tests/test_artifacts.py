@@ -8,7 +8,6 @@ mid-save state or a mismatched architecture) rather than the model the
 docs describe.
 """
 import os
-import sys
 
 import jax
 import jax.numpy as jnp
@@ -19,8 +18,14 @@ ROOT = os.path.join(os.path.dirname(__file__), "..")
 ASSOC = os.path.join(ROOT, "artifacts", "rehearsal_hard_assoc_ckpt")
 DETR = os.path.join(ROOT, "artifacts", "rehearsal_hard_detr_ckpt")
 
-os.environ["ODAM_HARD"] = "1"
-sys.path.insert(0, os.path.join(ROOT, "examples", "cli_rehearsal"))
+
+@pytest.fixture(autouse=True)
+def _rehearsal_env(monkeypatch):
+    """Scope the hard-rehearsal env + import path to these tests: a module-
+    level mutation leaks into the whole pytest process and makes any module
+    that reads ODAM_HARD at import (train.py) order-dependent (ADVICE r3)."""
+    monkeypatch.setenv("ODAM_HARD", "1")
+    monkeypatch.syspath_prepend(os.path.join(ROOT, "examples", "cli_rehearsal"))
 
 
 def test_committed_associator_restores_and_separates():
