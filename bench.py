@@ -200,29 +200,39 @@ def main() -> None:
     # frame n computes (put_frame double-buffering), so the stream runs at
     # max(link, compute) instead of link + compute.  Pass B: device-resident
     # frames — the throughput the chip itself sustains for the pipeline body.
-    fps_stream = 0.0
-    for rep in range(2):
+    # >=5 passes per mode, median +/- spread: the tunnel's RTT moves +/-15%
+    # between sessions, and best-of-2 could not separate a real step
+    # regression from tunnel weather (VERDICT r3).
+    n_passes = int(os.environ.get("ODAM_BENCH_PASSES", "5"))
+    stream_fps = []
+    for rep in range(n_passes):
         t0 = time.time()
         nxt = pipe.put_frame(frames[(2 + rep * n_frames) % 4])
         for f in range(2 + rep * n_frames, 2 + (rep + 1) * n_frames):
             cur, nxt = nxt, pipe.put_frame(frames[(f + 1) % 4])
             r = pipe.process_frame(cur, f, pose(f))
         force(r.store.window)
-        dt = time.time() - t0
-        fps_stream = max(fps_stream, n_frames / dt)
-        log(f"pipeline host-streamed pass {rep}: {n_frames / dt:.2f} fps")
+        stream_fps.append(n_frames / (time.time() - t0))
+    fps_stream = float(np.median(stream_fps))
+    log(f"pipeline host-streamed ({n_passes} passes): median {fps_stream:.2f} "
+        f"fps, min {min(stream_fps):.2f}, max {max(stream_fps):.2f} "
+        f"[{', '.join(f'{x:.1f}' for x in stream_fps)}]")
 
     import jax as _jax
 
     dev_frames = [tuple(_jax.device_put(p) for p in fr) for fr in frames]
-    fps = 0.0
-    for rep in range(2):  # best-of-2: the tunnel adds high dispatch variance
+    dev_fps = []
+    for rep in range(n_passes):
         t0 = time.time()
         for f in range(200 + rep * n_frames, 200 + (rep + 1) * n_frames):
             r = pipe.process_frame(dev_frames[f % 4], f, pose(f))
         force(r.store.window)
-        fps = max(fps, n_frames / (time.time() - t0))
-    log(f"pipeline device-resident: {fps:.2f} fps (tracks: {len(pipe.tracks)})")
+        dev_fps.append(n_frames / (time.time() - t0))
+    fps = float(np.median(dev_fps))
+    log(f"pipeline device-resident ({n_passes} passes): median {fps:.2f} fps, "
+        f"min {min(dev_fps):.2f}, max {max(dev_fps):.2f} "
+        f"[{', '.join(f'{x:.1f}' for x in dev_fps)}] "
+        f"(tracks: {len(pipe.tracks)})")
 
     # Mapping stage: one scene's worth (32 objects x 256 views x 200 iters).
     O, V = 32, 256
@@ -285,8 +295,11 @@ def main() -> None:
                   f"({img_h}x{img_w}; detector+NMS+track-projection+associator+"
                   f"Sinkhorn+exact-Hungarian+store update, one jitted step, "
                   f"Pallas fused attention, 48-track store occupancy; "
+                  f"median of {n_passes} passes, device-resident spread "
+                  f"{min(dev_fps):.1f}-{max(dev_fps):.1f}; "
                   f"host-streamed over this env's ~40MB/s tunnel: "
-                  f"{fps_stream:.1f} fps; mapping 200it/{O}obj/{V}views x2 + "
+                  f"{fps_stream:.1f} fps (spread {min(stream_fps):.1f}-"
+                  f"{max(stream_fps):.1f}); mapping 200it/{O}obj/{V}views x2 + "
                   f"merge: {2 * map_dt + merge_dt:.2f}s; full 2000-frame "
                   f"scene: {scene_s:.1f}s)",
         "value": round(fps, 3),

@@ -21,14 +21,23 @@ def init_distributed(coordinator_address: str | None = None,
 
     With no arguments, jax.distributed auto-discovers the TPU pod topology;
     explicit values support non-TPU backends (misc.py:390-412 equivalent).
-    No-op when already initialized or single-process.
+
+    The no-argument form is permissive (no-op when already initialized or in
+    a single-process environment).  The explicit form PROPAGATES failures: a
+    caller that names a coordinator is running a real multi-process rig, and
+    silently continuing single-process would make every collective a no-op
+    while looking green (scripts/dryrun_multiprocess.py exercises this path
+    with 2 real processes).
     """
-    try:
+    if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    try:
+        jax.distributed.initialize()
     except (RuntimeError, ValueError):
         pass  # already initialized or single-process environment
 

@@ -50,6 +50,22 @@ def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_local_batch(local_batch, mesh: Mesh, axis: str = "dp"):
+    """Form a GLOBAL batch from each process's local shard (multi-process).
+
+    ``device_put`` of a full array only works when every mesh device is
+    addressable; under real multi-process SPMD each host holds only its own
+    slice of the global batch, so the global array is assembled from
+    per-process shards (torch's DistributedSampler+DDP equivalent,
+    reference src/utils/misc.py:390-412 — here one jit over a global mesh).
+    """
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch,
+    )
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0,
                     fill=0.0) -> np.ndarray:
     """Pad an axis up to a multiple (so batches divide evenly over the mesh)."""
