@@ -40,7 +40,8 @@ def frame_boxes(objects, T_wc):
     return out
 
 
-def visible_flags(seed, vis_thresh=0.35, min_pix=12):
+def visible_flags(seed, vis_thresh=0.35, min_pix=12,
+                  n_frames=hard.N_FRAMES_HARD):
     """Per-(frame, instance) detectability flags for one hard scene.
 
     Returns (objects, flags [n_frames, n_objects] bool, listed counts,
@@ -51,7 +52,7 @@ def visible_flags(seed, vis_thresh=0.35, min_pix=12):
     """
     objects = hard.make_hard_objects(seed)
     n = len(objects)
-    views = hard.hard_scene_views(seed, pose_noise=False)
+    views = hard.hard_scene_views(seed, n_frames=n_frames, pose_noise=False)
     flags = np.zeros((len(views), n), bool)
     listed = np.zeros(n, int)          # frames where GT row exists
     mean_vis = np.zeros(n)

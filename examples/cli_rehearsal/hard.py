@@ -273,7 +273,8 @@ def hard_random_view(rng: np.random.Generator, vis_filter: bool = True):
 
 
 def hard_gt_world_tracks(seed: int, rng: np.random.Generator,
-                         noise: float = 0.02, phase: float = 0.0, keep=None):
+                         noise: float = 0.02, phase: float = 0.0, keep=None,
+                         n_frames: int = N_FRAMES_HARD):
     """Per-INSTANCE GT observation tracks (82-dim world rows) + poses.
 
     Twin of common.gt_world_tracks for hard scenes — identity comes from
@@ -287,7 +288,8 @@ def hard_gt_world_tracks(seed: int, rng: np.random.Generator,
     objects = make_hard_objects(seed)
     tracks = [[] for _ in objects]
     poses = {}
-    for fid, T_wc, _, rows, inst_ids in hard_scene_views(seed, phase=phase):
+    for fid, T_wc, _, rows, inst_ids in hard_scene_views(
+            seed, n_frames=n_frames, phase=phase):
         poses[fid] = T_wc
         for r, inst in zip(rows, inst_ids):
             if keep is not None and not keep(int(fid), int(inst)):

@@ -105,7 +105,7 @@ def main(root: str) -> None:
     print(f"wrote {len(SCENES)} scenes, {n} frames, {IMG}x{IMG}, to {root}")
 
 
-def main_hard(root: str, seeds=None) -> None:
+def main_hard(root: str, seeds=None, n_frames=None) -> None:
     """Write the HARD (discriminative) val split: procedural 8-10-object
     scenes with same-class duplicates, texture, occlusion, border
     truncation, and pose noise (see hard.py).  Same on-disk layout as
@@ -135,7 +135,8 @@ def main_hard(root: str, seeds=None) -> None:
         np.savetxt(os.path.join(base, "intrinsic", "intrinsic_color.txt"), K44)
         with open(os.path.join(scans, scene_id, f"{scene_id}.txt"), "w") as f:
             f.write(aa_line + "\n")
-        for fid, T_wc, img, _, _ in hard_scene_views(seed):
+        view_kwargs = {} if n_frames is None else {"n_frames": n_frames}
+        for fid, T_wc, img, _, _ in hard_scene_views(seed, **view_kwargs):
             Image.fromarray(img).save(
                 os.path.join(base, "color", f"{fid}.jpg"), quality=95
             )
@@ -172,6 +173,16 @@ if __name__ == "__main__":
         main_hard(args[0] if args else
                   os.path.join(os.path.dirname(__file__), "data_hard_tune"),
                   seeds=TUNE_SEEDS)
+    elif "--long" in sys.argv:
+        # Long-stream eval split for the associator-window experiment
+        # (same layouts/eval seeds as --hard, one slow 480-frame orbit):
+        # tracks accumulate ~15x more observations than the 32-frame split,
+        # so the 100-row window (the reference's bound,
+        # src/processor.py:133-178) actually truncates history and
+        # window=400 (flash-kernel regime) is a real capability delta.
+        main_hard(args[0] if args else
+                  os.path.join(os.path.dirname(__file__), "data_hard_long"),
+                  n_frames=480)
     elif "--hard" in sys.argv:
         main_hard(args[0] if args else
                   os.path.join(os.path.dirname(__file__), "data_hard"))

@@ -92,6 +92,7 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
         # the declared 18k-step provenance (ADVICE r3).  Legacy checkpoints
         # without odam_meta.json fall back to trusting the argument.
         meta = checkpoint.load_meta(ckpt)
+        start_it = 0
         if meta is not None and "global_step" in meta:
             at = int(meta["global_step"])
             # exact boundary (at == seg*steps) or a mid-segment bank left by
@@ -104,11 +105,22 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
                     f"[{seg * steps}, {(seg + 1) * steps}). Resume with "
                     f"seg {at // steps} (see TRAINLOG.md)."
                 )
+            # a mid-segment bank resumes AT ITS BANKED STEP: re-running the
+            # whole segment on banked weights would double-train the banked
+            # prefix and break the declared 18k-step provenance.  (Each
+            # segment runs a fresh optimizer over params; the cosine offset
+            # below is per-iteration, so a partial segment stays on
+            # schedule.)
+            start_it = at - seg * steps
+            if start_it:
+                print(f"mid-segment bank: resuming segment {seg} at "
+                      f"step {start_it}/{steps}")
         else:
             print(f"WARNING: {ckpt} carries no global_step meta; trusting "
                   f"seg={seg} (verify against artifacts/TRAINLOG.md)")
         print(f"resumed from {ckpt}")
     else:
+        start_it = 0
         params = model.init(jax.random.key(0),
                             jnp.zeros((1, img_size, img_size, 3)))
     lr = float(os.environ.get("ODAM_LR", "5e-4"))
@@ -118,9 +130,9 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
 
         base = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.02)
         # crash-isolated segments resume MID-schedule: segment s of n steps
-        # starts at global step s*n (the TPU-worker fault mitigation runs
-        # uniform segments, so seg*steps is the global offset)
-        offset = seg * steps
+        # starts at global step s*n (+ the banked step on a mid-segment
+        # resume); the optimizer is fresh per run, so its count starts at 0
+        offset = seg * steps + start_it
         lr = lambda count: base(count + offset)  # noqa: E731
     tcfg = train_mod.DetrTrainConfig(
         lr=lr, lr_backbone=lr, clip_norm=5.0, weight_decay=0.0,
@@ -129,10 +141,13 @@ def train_detector(seg: int, steps: int, ckpt: str) -> None:
     tx = train_mod.make_detr_optimizer(params, tcfg)
     state = train_mod.init_train_state(params, tx)
     step_fn = train_mod.make_detr_train_step(model, tx, tcfg)
-    rng = np.random.default_rng(seg)
+    # fresh layouts every step: a partial-segment resume just needs a data
+    # stream disjoint from the already-trained prefix, not a replay of it
+    rng = np.random.default_rng(seg if not start_it
+                                else seg * 100003 + start_it)
     B = int(os.environ.get("ODAM_TRAIN_BATCH", "8"))
     t0 = time.time()
-    for it in range(steps):
+    for it in range(start_it, steps):
         if HARD:
             batch = []
             while len(batch) < B:
@@ -380,10 +395,14 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
     from odam_tpu.data.datasets import build_association_sample
     from odam_tpu.models import training as train_mod
 
-    T, N, W = (16 if HARD else 8), 30, 100  # dets padded to 30, window 100
+    # dets padded to 30, window 100 (ODAM_WINDOW overrides: the GNN is
+    # length-agnostic, but the w400 experiment fine-tunes at the long
+    # window so attention-mass dilution over 4x rows is in-distribution)
+    T, N, W = (16 if HARD else 8), 30, int(os.environ.get("ODAM_WINDOW", "100"))
     samples = []
     rng = np.random.default_rng(7)
     if HARD:
+        import hard as hard_mod
         from hard import IMG as img_size, TRAIN_SEEDS, hard_gt_world_tracks
 
         # Domain-match the training stream to what the pipeline's associator
@@ -398,16 +417,25 @@ def train_associator(seg: int, steps: int, ckpt: str) -> None:
         #    fp/frame, GT-derived streams contain none.
         import analyze_visibility as av
 
+        # ODAM_STREAM_FRAMES: orbit length of the training streams.  The
+        # default 32-frame split caps every track at <=32 rows, so a long
+        # window is never exercised; the w400 experiment trains on 480-frame
+        # orbits (fewer layout seeds keep the sample count comparable).
+        stream_frames = int(os.environ.get("ODAM_STREAM_FRAMES",
+                                           str(hard_mod.N_FRAMES_HARD)))
+        long_stream = stream_frames != hard_mod.N_FRAMES_HARD
+        seeds = TRAIN_SEEDS[:2] if long_stream else TRAIN_SEEDS
         sources = []
-        for seed in TRAIN_SEEDS:
-            _, flags, _, _ = av.visible_flags(seed)
+        for seed in seeds:
+            _, flags, _, _ = av.visible_flags(seed, n_frames=stream_frames)
 
             def keep(fid, inst, flags=flags):
                 return bool(flags[fid, inst])
 
             for ns in range(2):
                 tracks, poses = hard_gt_world_tracks(
-                    seed, np.random.default_rng(ns), noise=0.05, keep=keep)
+                    seed, np.random.default_rng(ns), noise=0.05, keep=keep,
+                    n_frames=stream_frames)
                 # score jitter: GT rows carry a constant 0.95; real
                 # detections span the whole kept band.  Matched to the
                 # ghost band so score carries no real-vs-fp signal.

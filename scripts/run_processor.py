@@ -250,6 +250,11 @@ def main():
                          "right-size to the scene for less padded compute)")
     ap.add_argument("--max_views", type=int, default=256,
                     help="mapping-stage view-slot capacity per object")
+    ap.add_argument("--window", type=int, default=100,
+                    help="associator track-history window (observations per "
+                         "track fed to the GNN; reference bound: 100, "
+                         "src/processor.py:133-178 — >=256 routes the flash "
+                         "streaming attention kernel, ops/attention.py)")
     ap.add_argument("--short_side", type=int, default=800,
                     help="inference resize: shorter side (reference: 800)")
     ap.add_argument("--max_size", type=int, default=1333,
@@ -292,6 +297,7 @@ def main():
         optim_solver=args.solver,
         max_objs=args.max_objs,
         max_views=args.max_views,
+        window=args.window,
     )
     pipe = proc_mod.OdamPipeline(detr, dparams, assoc, aparams, pcfg)
 
