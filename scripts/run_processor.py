@@ -139,10 +139,14 @@ def run_scene_parallel(args, index, scene_list, pcfg,
     from odam_tpu.runtime import scene_parallel as sp_mod
 
     P = args.scene_parallel
-    assert P <= len(jax.devices()), (P, len(jax.devices()))
-    mesh = mesh_mod.make_mesh({"dp": P})
+    # More lanes than devices is fine: lanes are a vmap axis sharded over
+    # the mesh, so each device runs P/D scenes batched (on one chip the
+    # whole group runs batched — the throughput mode for val splits).
+    D = len(jax.devices())
+    n_dev = max(d for d in range(1, min(P, D) + 1) if P % d == 0)
+    mesh = mesh_mod.make_mesh({"dp": n_dev})
     runner = sp_mod.SceneParallelRunner(detr, dparams, assoc, aparams,
-                                        pcfg, mesh)
+                                        pcfg, mesh, n_lanes=P)
 
     pending = [
         s for s in scene_list
