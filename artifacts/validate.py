@@ -108,6 +108,14 @@ def eval_associator() -> float:
     return float(np.mean(vals))
 
 
+# Recall pin for the COMPLETE (18k-step) detector: the finished model must
+# score near its documented operating point or the committed-artifact
+# guarantee is decorative (VERDICT r3 weak #6).  Partial checkpoints are
+# only reported — TRAINLOG.md carries their position.
+FULL_STEPS = 18000
+RECALL_PIN = 0.84
+
+
 def eval_detector():
     if not checkpoint.latest_path(DETR):
         return None
@@ -123,8 +131,10 @@ def eval_detector():
         model, params, EVAL_SEEDS, n_frames=8, visible_only=True)
     rec = (tp + ce) / max(tp + ce + fn, 1)
     acc = tp / max(tp + ce, 1)
+    meta = checkpoint.load_meta(DETR) or {}
     return {"recall": round(rec, 3), "class_acc": round(acc, 3),
-            "tp": tp, "cls_err": ce, "fn": fn, "fp": fp}
+            "tp": tp, "cls_err": ce, "fn": fn, "fp": fp,
+            "global_step": meta.get("global_step")}
 
 
 def main() -> None:
@@ -137,6 +147,14 @@ def main() -> None:
         print("detector checkpoint absent (segments not yet committed)")
     else:
         print(f"detector probe on eval views: {det}")
+        if (det["global_step"] or 0) >= FULL_STEPS:
+            assert det["recall"] >= RECALL_PIN, (
+                f"complete detector checkpoint scores visible-recall "
+                f"{det['recall']} < {RECALL_PIN}: not the model the docs "
+                f"describe (MEASURED.md operating point)")
+        else:
+            print(f"  (partial checkpoint at {det['global_step']}/"
+                  f"{FULL_STEPS} steps: recall reported, not pinned)")
     print("ARTIFACT VALIDATION OK")
 
 

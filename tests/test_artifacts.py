@@ -107,3 +107,33 @@ def test_committed_detector_restores_against_declared_architecture():
     out = model.apply(params, jnp.zeros((1, IMG, IMG, 3)))
     assert out["pred_logits"].shape[1] == 16
     assert bool(jnp.isfinite(out["pred_logits"]).all())
+
+
+def test_complete_detector_scores_its_operating_point():
+    """Once TRAINLOG.md declares all 12 segments (global_step == 18000),
+    the committed detector must score near its documented visible-object
+    recall — a silently wrong/truncated bank must fail the suite, not just
+    be 'reported' (VERDICT r3 weak #6).  Partial checkpoints skip."""
+    from common import make_detr
+    from hard import IMG, EVAL_SEEDS
+    from odam_tpu.utils import checkpoint
+
+    if not checkpoint.latest_path(DETR):
+        pytest.skip("detector artifact not committed")
+    meta = checkpoint.load_meta(DETR) or {}
+    if (meta.get("global_step") or 0) < 18000:
+        pytest.skip(f"partial checkpoint ({meta.get('global_step')}/18000)")
+
+    import probe_detector
+
+    model, _ = make_detr(16, backbone_stage=3, backbone="tiny")
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, IMG, IMG, 3))),
+        jax.random.key(0))
+    params = checkpoint.restore(DETR, shapes)
+    tp, ce, fn, fp = probe_detector.stats(
+        model, params, EVAL_SEEDS, n_frames=8, visible_only=True)
+    recall = (tp + ce) / max(tp + ce + fn, 1)
+    assert recall >= 0.84, (
+        f"complete detector scores visible-recall {recall:.3f} < 0.84 "
+        f"(tp={tp} ce={ce} fn={fn} fp={fp}): not the MEASURED.md model")

@@ -215,3 +215,36 @@ def test_scene_parallel_matches_serial(rng):
                                        atol=5e-3)
         # every GT object recovered as one track
         assert len(par_t) == len(scenes[s_idx]["objects"])
+
+
+def test_lanes_exceed_mesh(rng):
+    """S lanes > mesh devices: lanes are a vmap axis, so a 2-device mesh
+    runs 8 scenes as 4 batched per device — the single-chip throughput
+    mode (scripts/bench_scene_parallel.py).  Results must be identical to
+    the one-scene-per-device run."""
+    from odam_tpu.parallel import mesh as mesh_mod
+
+    tables, scenes = _build_all_scenes(rng)
+    cfg = _cfg()
+
+    mesh8 = mesh_mod.make_mesh({"dp": N_SCENES})
+    ref = scene_parallel.SceneParallelRunner(
+        SceneStubDetector(), tables, OracleAssociator(), {}, cfg, mesh8
+    ).run_scenes(scenes, IMG_H, IMG_W)
+
+    mesh2 = mesh_mod.make_mesh({"dp": 2}, devices=jax.devices()[:2])
+    runner = scene_parallel.SceneParallelRunner(
+        SceneStubDetector(), tables, OracleAssociator(), {}, cfg, mesh2,
+        n_lanes=N_SCENES,
+    )
+    outs = runner.run_scenes(scenes, IMG_H, IMG_W)
+
+    assert len(outs) == len(ref)
+    for a, b in zip(ref, outs):
+        assert len(a["tracks"]) == len(b["tracks"])
+        for ta, tb in zip(a["tracks"], b["tracks"]):
+            np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                                       atol=1e-4, rtol=1e-5)
+        for ba, bb in zip(a["bboxes_qc"], b["bboxes_qc"]):
+            np.testing.assert_allclose(np.asarray(ba), np.asarray(bb),
+                                       atol=5e-3)
