@@ -328,6 +328,11 @@ class OdamPipeline:
         cfg = self.cfg
         detr_apply = self.detr_model.apply
         assoc_apply = self.assoc_model.apply
+        # Transport decodes straight into the model's compute dtype: the
+        # backbone casts anyway, and materializing bf16 instead of f32
+        # halves the decoded image's write traffic.
+        model_dtype = getattr(getattr(self.detr_model, "config", None),
+                              "dtype", None)
 
         @partial(jax.jit, donate_argnames=("store", "log"))
         def step(detr_params, assoc_params, store: tracker.TrackStore,
@@ -337,15 +342,20 @@ class OdamPipeline:
             std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
             if isinstance(image, tuple):
                 # YUV 4:2:0 transport: (Y uint8 [H, W], UV uint8 [H/2, W/2, 2])
-                # — half the host-link bytes of packed RGB; reconstructed and
-                # normalized on the VPU.
-                from ..data.transforms import yuv420_to_rgb_device
+                # — half the host-link bytes of packed RGB; reconstructed,
+                # normalized, and cast in ONE fused pass on the VPU (the
+                # unfused chain cost ~0.6 ms/frame at 800x1071: the round-3
+                # 113.9 -> 105.9 fps step regression, BENCHMARKS.md).
+                from ..data.transforms import yuv420_to_normalized_device
 
-                image = (yuv420_to_rgb_device(*image) / 255.0 - mean) / std
+                image = yuv420_to_normalized_device(
+                    *image, mean=mean, std=std, dtype=model_dtype)
             elif image.dtype == jnp.uint8:
                 # On-device ImageNet normalization: ships 3x fewer bytes per
                 # frame over the host link than pre-normalized float32.
                 image = (image.astype(jnp.float32) / 255.0 - mean) / std
+                if model_dtype is not None:
+                    image = image.astype(model_dtype)
             if cfg.resize_on_device and image.shape[:2] != self._resize_to:
                 # Raw-resolution frame in; bilinear resize on the VPU.  The
                 # target is the sequence's detector resolution (static; read

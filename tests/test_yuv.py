@@ -74,3 +74,23 @@ def test_pipeline_accepts_yuv_frames():
     n_yuv = int(r_yuv.n_detections)
     assert n_yuv > 0
     assert abs(n_rgb - n_yuv) <= max(2, n_rgb // 2)
+
+
+def test_fused_normalized_matches_reference_chain(rng):
+    """yuv420_to_normalized_device == yuv420_to_rgb_device -> /255-mean/std
+    (it exists purely as the fused/lower-traffic form of that chain)."""
+    import jax.numpy as jnp
+
+    rgb = rng.integers(0, 255, (67, 101, 3), np.uint8)  # odd H/W: edge pad
+    y, uv = transforms.rgb_to_yuv420(rgb)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    ref = (np.asarray(transforms.yuv420_to_rgb_device(y, uv)) / 255.0
+           - mean) / std
+    fused = np.asarray(transforms.yuv420_to_normalized_device(
+        y, uv, mean=mean, std=std))
+    np.testing.assert_allclose(fused, ref, atol=2e-5, rtol=1e-5)
+    # bf16 output stays within bf16 resolution of the f32 result
+    fused16 = np.asarray(transforms.yuv420_to_normalized_device(
+        y, uv, mean=mean, std=std, dtype=jnp.bfloat16)).astype(np.float32)
+    np.testing.assert_allclose(fused16, ref, atol=0.04)
