@@ -204,6 +204,24 @@ def main() -> None:
     # between sessions, and best-of-2 could not separate a real step
     # regression from tunnel weather (VERDICT r3).
     n_passes = int(os.environ.get("ODAM_BENCH_PASSES", "5"))
+
+    # Link calibration: the streamed mode is link-bound in this environment
+    # (fps * bytes/frame == raw H2D bandwidth, measured round 4: 26.5 fps x
+    # 1.29 MB == 34.2 MB/s == the probe below), and the tunnel's bandwidth
+    # moves 30%+ between sessions.  Report the measured link and the implied
+    # streamed ceiling so cross-round streamed deltas can be attributed to
+    # link weather vs the step program.
+    frame_mb = sum(p.nbytes for p in frames[0]) / 1e6
+    if on_tpu:
+        probe = np.zeros((24, img_h, img_w, 3), np.uint8)
+        jax.block_until_ready(jax.device_put(probe[:1]))
+        t0 = time.time()
+        x = jax.device_put(probe)
+        float(jnp.sum(jnp.asarray(x[0, 0, 0, :], jnp.float32)))
+        link_mbps = probe.nbytes / 1e6 / (time.time() - t0)
+        log(f"H2D link: {link_mbps:.1f} MB/s -> streamed ceiling "
+            f"{link_mbps / frame_mb:.1f} fps at {frame_mb:.2f} MB/frame (YUV420)")
+
     stream_fps = []
     for rep in range(n_passes):
         t0 = time.time()
