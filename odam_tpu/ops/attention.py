@@ -25,6 +25,18 @@ NEG_INF = -1e9
 # cross over to the streaming kernel.
 FLASH_MIN_KEYS = 256
 
+# Batch bound for the Pallas kernels.  Measured on hardware (round 4,
+# scripts/profile_batched_detector.py --pallas {on,off}): at B=1 latency
+# mode the flash kernel wins the DETR encoder (4.8 vs 5.1 ms whole
+# forward), but in throughput mode XLA's own attention fusion is ~2x
+# faster per transformer stage (B=16: 8.5 vs 17.3 ms; B=32: 15.3 vs
+# 34.6 ms -> 434 vs 347 fps detection throughput).  The round-3 kernel
+# table (BENCHMARKS.md) shows the same pattern for the associator's
+# batched fuser rows (B=48 tracks: XLA 1.16/1.33 ms vs Pallas
+# 1.22-1.88 ms at bf16).  So ``use_pallas=True`` means "Pallas where
+# Pallas wins": only small-batch calls take the hand-written kernels.
+PALLAS_MAX_BATCH = 2
+
 
 def mha_core(q: Array, k: Array, v: Array, num_heads: int,
              key_padding_mask: Array | None = None,
@@ -50,7 +62,7 @@ def mha_core(q: Array, k: Array, v: Array, num_heads: int,
     kh = k.reshape(B, Lk, H, dh)
     vh = v.reshape(B, Lk, H, dh)
 
-    if use_pallas:
+    if use_pallas and B <= PALLAS_MAX_BATCH:
         from . import pallas_attention
 
         if Lk >= FLASH_MIN_KEYS:

@@ -68,6 +68,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=10,
                     help="calls per timed pass (amortizes dispatch)")
     ap.add_argument("--trace_dir", default=None)
+    ap.add_argument("--pallas", choices=["on", "off"], default="on",
+                    help="attention impl A/B: the round-3 kernel table shows "
+                         "XLA ahead of the Pallas kernels at bf16")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -77,7 +80,8 @@ def main() -> None:
     print(f"device: {dev} image {img_h}x{img_w} dtype {dtype.__name__}",
           file=sys.stderr)
 
-    dcfg = detr_mod.DETRConfig(dtype=dtype, use_pallas=on_tpu, aux_loss=False)
+    dcfg = detr_mod.DETRConfig(dtype=dtype, use_pallas=on_tpu and args.pallas == "on",
+                               aux_loss=False)
     model = detr_mod.DETR(dcfg)
     params = model.init(jax.random.key(0), jnp.zeros((1, img_h, img_w, 3)))
     pcfg = proc_mod.PipelineConfig()
@@ -111,7 +115,7 @@ def main() -> None:
     # analytic FLOPs per frame
     fh, fw = img_h // 32, img_w // 32
     L = fh * fw
-    conv_f = conv_flops_resnet50(img_h, img_w)
+    conv_f, _ = conv_flops_resnet50(img_h, img_w)
     proj_f = 2 * L * 2048 * dcfg.hidden_dim
     tr_f = transformer_flops(L, dcfg.num_queries, dcfg.hidden_dim,
                              dcfg.dim_feedforward, dcfg.enc_layers,

@@ -217,7 +217,10 @@ def test_mha_core_routes_long_windows_to_flash(monkeypatch):
     """use_pallas=True must route key sequences >= FLASH_MIN_KEYS through
     the streaming flash kernel (the long-track-window fuser path, lifting
     the reference's 100-step bound, processor.py:133) and shorter ones
-    through the single-tile fused kernel — with identical numerics."""
+    through the single-tile fused kernel — with identical numerics.
+    Batched calls (B > PALLAS_MAX_BATCH) take the XLA path: measured on
+    hardware, XLA's fusion beats the hand kernels at every batched shape
+    (profile_batched_detector.py --pallas off: 434 vs 347 fps at B=32)."""
     from odam_tpu.ops import attention, pallas_attention
 
     calls = []
@@ -233,7 +236,7 @@ def test_mha_core_routes_long_windows_to_flash(monkeypatch):
     rng = np.random.default_rng(2)
     H, dh = 2, 16
     for Lk, expect in ((400, "flash"), (100, "fused")):
-        B, Lq = 3, Lk
+        B, Lq = 2, Lk
         q = jnp.asarray(rng.normal(size=(B, Lq, H * dh)).astype(np.float32))
         k = jnp.asarray(rng.normal(size=(B, Lk, H * dh)).astype(np.float32))
         v = jnp.asarray(rng.normal(size=(B, Lk, H * dh)).astype(np.float32))
@@ -244,6 +247,16 @@ def test_mha_core_routes_long_windows_to_flash(monkeypatch):
         out = attention.mha_core(q, k, v, H, jnp.asarray(kpm), use_pallas=True)
         assert calls == [expect], (Lk, calls)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # Batched (throughput-mode) calls must NOT take the Pallas kernels.
+    B = attention.PALLAS_MAX_BATCH + 1
+    q = jnp.asarray(rng.normal(size=(B, 16, H * dh)).astype(np.float32))
+    calls.clear()
+    out = attention.mha_core(q, q, q, H, None, use_pallas=True)
+    assert calls == [], calls
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(attention.mha_core(q, q, q, H, None)),
+        atol=3e-5)
 
 
 def test_associator_long_window_with_pallas_fuser():
