@@ -45,11 +45,25 @@ def main() -> None:
     on_tpu = dev.platform != "cpu"
     print(f"device: {dev}", file=sys.stderr)
     img_h, img_w = (800, 1071) if on_tpu else (160, 208)
-    n_frames = 40 if on_tpu else 4
+    n_frames = int(os.environ.get("ODAM_BENCH_FRAMES", "80" if on_tpu else "4"))
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     def force(x):
         return float(jnp.sum(x.astype(jnp.float32)))
+
+    # The completion barrier costs one tunnel RTT (pure apparatus, not
+    # workload); calibrate on a ready scalar and subtract per pass, exactly
+    # as bench.py does.
+    ready_scalar = jnp.zeros((), jnp.float32) + 1.0
+    float(ready_scalar)
+
+    def pull_rtt():
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(ready_scalar)
+            best = min(best, time.time() - t0)
+        return best
 
     dcfg = detr_mod.DETRConfig(dtype=dtype, use_pallas=on_tpu)
     detr = detr_mod.DETR(dcfg)
@@ -122,10 +136,11 @@ def main() -> None:
               file=sys.stderr)
         fps = []
         for rep in range(args.passes):
+            rtt = pull_rtt()
             t0 = time.time()
             stores, logs = run_block(n_frames * (rep + 1), stores, logs)
             force(stores.window)
-            fps.append(S * n_frames / (time.time() - t0))
+            fps.append(S * n_frames / max(time.time() - t0 - rtt, 1e-6))
         results[S] = fps
         print(f"S={S}: aggregate median {np.median(fps):.2f} fps "
               f"[{', '.join(f'{x:.1f}' for x in fps)}]", flush=True)
