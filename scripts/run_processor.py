@@ -207,6 +207,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config_path", default="configs/detr_scan_net.yaml")
     ap.add_argument("--detect_threshold", default=0.6, type=float)
+    ap.add_argument("--min_views", default=10, type=int,
+                    help="optimizer view gate: tracks with fewer valid views "
+                         "keep their detector-average box (the reference "
+                         "hardcodes 10, processor.py:353-354; the eval-side "
+                         "twin is eval_scan2cad --min_views)")
     ap.add_argument("--attach_threshold", default=0.8, type=float,
                     help="Sinkhorn attach/new-track score gate (the "
                          "reference's hardcoded 0.8, processor.py:226-229); "
@@ -299,6 +304,7 @@ def main():
         resize_on_device=args.device_resize,
         track_bbox_mode=track_bbox,
         optim_solver=args.solver,
+        min_views=args.min_views,
         max_objs=args.max_objs,
         max_views=args.max_views,
         window=args.window,
