@@ -50,6 +50,7 @@ class DETRConfig:
     position_embedding: str = "sine"
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    stem: str = "conv"  # "s2d" = space-to-depth stem (same math/params)
 
     @classmethod
     def from_cfg(cls, cfg: dict, dtype: Any = jnp.float32,
@@ -73,6 +74,7 @@ class DETRConfig:
             position_embedding=cfg.get("position_embedding", "sine"),
             backbone=cfg.get("backbone", "resnet50"),
             backbone_stage=int(cfg.get("backbone_stage", 4)),
+            stem=cfg.get("stem", "conv"),
             dtype=dtype,
             use_pallas=use_pallas,
         )
@@ -126,7 +128,8 @@ class DETR(nn.Module):
             feats = resnet.ResNet(
                 stage_sizes=resnet.RESNET50_STAGES,
                 return_stages=(c.backbone_stage,),
-                dilate_last=c.dilation, dtype=c.dtype, name="backbone",
+                dilate_last=c.dilation, dtype=c.dtype, stem=c.stem,
+                name="backbone",
             )(images)[c.backbone_stage]
         fh, fw = feats.shape[1], feats.shape[2]
         feat_mask = jax.image.resize(
@@ -200,6 +203,22 @@ class Detections(NamedTuple):
     features: Array    # [B, N, D] query features
 
 
+def _suppression_pairs(classes: Array, t_co: Array, dims: Array,
+                       boxes_2d: Array, iou3d_threshold: float,
+                       iou2d_threshold: float, use_2d: bool) -> Array:
+    """[Q, Q] bool: i and j mutually conflict under the reference NMS rules."""
+    Q = classes.shape[0]
+    half = dims / 2.0
+    aabb = jnp.stack([t_co - half, t_co + half], axis=-2)  # [Q, 2, 3]
+    iou3 = box_ops.iou_aabb(aabb[:, None], aabb[None, :])  # [Q, Q]
+    same_class = classes[:, None] == classes[None, :]
+    sup_pair = same_class & (iou3 > iou3d_threshold)
+    if use_2d:
+        iou2, _ = box_ops.pairwise_box_iou(boxes_2d, boxes_2d)
+        sup_pair = sup_pair | (iou2 > iou2d_threshold)
+    return sup_pair & ~jnp.eye(Q, dtype=bool)
+
+
 def nms_3d_mask(classes: Array, scores: Array, t_co: Array, dims: Array,
                 boxes_2d: Array, valid: Array, iou3d_threshold: float = 0.25,
                 iou2d_threshold: float = 0.5, use_2d: bool = True) -> Array:
@@ -208,18 +227,48 @@ def nms_3d_mask(classes: Array, scores: Array, t_co: Array, dims: Array,
     Reference semantics (detr.py:161-205): process by descending score;
     suppress later candidates of the same class with axis-aligned 3D IoU >
     0.25, or (any class) 2D IoU > 0.5.
+
+    Computed as a fixed point instead of the Q-step sequential sweep: greedy
+    NMS is the unique solution of ``keep_i = valid_i and no higher-ranked
+    kept j conflicts with i`` (unique by induction on rank), so iterating
+    ``keep <- valid & ~(S @ keep)`` — one [Q, Q] masked matvec per round —
+    converges to exactly the greedy mask in (suppression-chain depth + 1)
+    rounds, typically 2-4 instead of Q = 100.  The while_loop's
+    data-dependent trip count is fine inside jit (same pattern as the exact
+    Hungarian in ops/lap.py).
     """
     Q = classes.shape[0]
-    half = dims / 2.0
-    aabb = jnp.stack([t_co - half, t_co + half], axis=-2)  # [Q, 2, 3]
-    iou3 = box_ops.iou_aabb(aabb[:, None], aabb[None, :])  # [Q, Q]
-    iou2, _ = box_ops.pairwise_box_iou(boxes_2d, boxes_2d)
-    same_class = classes[:, None] == classes[None, :]
-    sup_pair = same_class & (iou3 > iou3d_threshold)
-    if use_2d:
-        sup_pair = sup_pair | (iou2 > iou2d_threshold)
-    sup_pair = sup_pair & ~jnp.eye(Q, dtype=bool)
+    sup_pair = _suppression_pairs(classes, t_co, dims, boxes_2d,
+                                  iou3d_threshold, iou2d_threshold, use_2d)
+    # j outranks i: higher score, ties broken by lower index (the stable
+    # argsort order the sequential sweep used).
+    idx = jnp.arange(Q)
+    outranks = (scores[None, :] > scores[:, None]) | (
+        (scores[None, :] == scores[:, None]) & (idx[None, :] < idx[:, None]))
+    S = (sup_pair & outranks & valid[None, :]).astype(jnp.float32)
 
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < Q + 1)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = (S @ keep.astype(jnp.float32)) > 0
+        return valid & ~suppressed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(cond, body, (valid, ~valid, 0))
+    return keep
+
+
+def _nms_3d_mask_sequential(classes: Array, scores: Array, t_co: Array,
+                            dims: Array, boxes_2d: Array, valid: Array,
+                            iou3d_threshold: float = 0.25,
+                            iou2d_threshold: float = 0.5,
+                            use_2d: bool = True) -> Array:
+    """The literal Q-step greedy sweep (equivalence oracle for tests)."""
+    Q = classes.shape[0]
+    sup_pair = _suppression_pairs(classes, t_co, dims, boxes_2d,
+                                  iou3d_threshold, iou2d_threshold, use_2d)
     order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
 
     def body(k, state):

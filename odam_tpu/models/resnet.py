@@ -21,6 +21,73 @@ Array = jax.Array
 RESNET50_STAGES = (3, 4, 6, 3)
 
 
+class _StemKernel(nn.Module):
+    """Owns the stem conv weight at the standard ``conv1/kernel`` tree path
+    so both stem execution strategies share one ported checkpoint layout."""
+
+    @nn.compact
+    def __call__(self) -> Array:
+        # lecun_normal = nn.Conv's default, so checkpoints and seeded inits
+        # are identical to the previous nn.Conv(name="conv1") formulation
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64))
+
+
+def _stem_conv(x: Array, kernel: Array, dtype: Any) -> Array:
+    """The literal 7x7 stride-2 pad-3 stem conv (torchvision semantics)."""
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _stem_conv_s2d(x: Array, kernel: Array, dtype: Any) -> Array:
+    """Space-to-depth rewrite of the stem conv — mathematically identical.
+
+    A 7x7 stride-2 conv over 3 channels leaves the MXU's 128-lane
+    contraction nearly empty (7*7*3 taps spread over a huge spatial grid).
+    Folding a 2x2 space-to-depth into the input ([H, W, 3] ->
+    [H/2, W/2, 12]) turns it into a 4x4 STRIDE-1 conv over 12 channels on a
+    4x smaller grid — the standard TPU stem optimization (MLPerf ResNet
+    lineage).  The weight rearrangement below is exact: output pixel p reads
+    input rows 2p-3..2p+3; writing u = 2m + r (r in {0,1}) maps tap u to
+    s2d-pixel offset m in {-2..1} and phase r, i.e. a 4-tap kernel with
+    (left, right) padding (2, 1).  Tap (m, r) = (-2, 0) (u = -4) never
+    occurs and stays zero.
+
+    Odd H/W are zero-padded to even before the reshape; those zeros coincide
+    with the conv's own zero padding, so results are unchanged.
+    """
+    H, W, C = x.shape[-3], x.shape[-2], x.shape[-1]
+    pad_h, pad_w = H % 2, W % 2
+    if pad_h or pad_w:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 3) + [(0, pad_h), (0, pad_w), (0, 0)])
+        H, W = H + pad_h, W + pad_w
+    B = x.shape[0]
+    # [B, H/2, 2, W/2, 2, C] -> [B, H/2, W/2, (2, 2, C)]
+    xs = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(B, H // 2, W // 2, 4 * C)
+    # kernel [7, 7, C, O] -> [4, 4, (2, 2, C), O]; k2[m+2, n+2, r, s] = k[2m+r+3, 2n+s+3]
+    k2 = jnp.zeros((4, 4, 2, 2) + kernel.shape[2:], kernel.dtype)
+    for m in range(-2, 2):
+        for r in range(2):
+            u = 2 * m + r + 3
+            if not 0 <= u <= 6:
+                continue
+            for n in range(-2, 2):
+                for s in range(2):
+                    v = 2 * n + s + 3
+                    if 0 <= v <= 6:
+                        k2 = k2.at[m + 2, n + 2, r, s].set(kernel[u, v])
+    k2 = k2.reshape((4, 4, 4 * C) + kernel.shape[3:])
+    out = jax.lax.conv_general_dilated(
+        xs.astype(dtype), k2.astype(dtype), (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # the conv's own output already matches the strided original; crop the
+    # extra column/row introduced when the input needed parity padding only
+    # if it produced one (it does not: ceil((H+pad)/2) == floor((H-1)/2)+1).
+    return out
+
+
 class FrozenBatchNorm(nn.Module):
     """Affine-only batch norm with fixed statistics (backbone.py:21-56)."""
 
@@ -77,18 +144,22 @@ class ResNet(nn.Module):
             the DETR feature map (stride 32 without dilation).
         dilate_last: replace the last stage's stride with dilation
             (reference's ``dilation`` flag, backbone.py:90-92).
+        stem: "conv" = the literal 7x7/s2 conv; "s2d" = the space-to-depth
+            rewrite (same math, same params — see ``_stem_conv_s2d``).
     """
 
     stage_sizes: Sequence[int] = RESNET50_STAGES
     return_stages: Sequence[int] = (4,)
     dilate_last: bool = False
     dtype: Any = jnp.float32
+    stem: str = "conv"
 
     @nn.compact
     def __call__(self, x: Array) -> dict[int, Array]:
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        kernel = _StemKernel(name="conv1")()
+        stem_fn = _stem_conv_s2d if self.stem == "s2d" else _stem_conv
+        x = stem_fn(x, kernel, self.dtype)
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -111,9 +182,9 @@ class ResNet(nn.Module):
 
 
 def resnet50(dtype: Any = jnp.float32, dilate_last: bool = False,
-             return_stages: Sequence[int] = (4,)) -> ResNet:
+             return_stages: Sequence[int] = (4,), stem: str = "conv") -> ResNet:
     return ResNet(stage_sizes=RESNET50_STAGES, return_stages=return_stages,
-                  dilate_last=dilate_last, dtype=dtype)
+                  dilate_last=dilate_last, dtype=dtype, stem=stem)
 
 
 class TinyBackbone(nn.Module):

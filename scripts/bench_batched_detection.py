@@ -76,6 +76,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--peak_tflops", type=float, default=197.0,
                     help="chip peak (v5e bf16 = 197 TFLOP/s; 394 is int8)")
+    ap.add_argument("--stem", choices=["conv", "s2d"], default="conv",
+                    help="backbone stem A/B (s2d = space-to-depth rewrite)")
     args = ap.parse_args()
 
     from odam_tpu import config as config_mod
@@ -89,6 +91,7 @@ def main():
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
     cfg = config_mod.merge_cfg(["configs/detr_scan_net.yaml"])
+    cfg["stem"] = args.stem
     dcfg = detr_mod.DETRConfig.from_cfg(cfg, dtype=dtype, use_pallas=True)
     model = detr_mod.DETR(dcfg)
     params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))

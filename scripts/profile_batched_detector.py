@@ -71,6 +71,9 @@ def main() -> None:
     ap.add_argument("--pallas", choices=["on", "off"], default="on",
                     help="attention impl A/B: the round-3 kernel table shows "
                          "XLA ahead of the Pallas kernels at bf16")
+    ap.add_argument("--stem", choices=["conv", "s2d"], default="conv",
+                    help="backbone stem A/B: literal 7x7/s2 conv vs the "
+                         "space-to-depth rewrite (same math)")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -81,7 +84,7 @@ def main() -> None:
           file=sys.stderr)
 
     dcfg = detr_mod.DETRConfig(dtype=dtype, use_pallas=on_tpu and args.pallas == "on",
-                               aux_loss=False)
+                               aux_loss=False, stem=args.stem)
     model = detr_mod.DETR(dcfg)
     params = model.init(jax.random.key(0), jnp.zeros((1, img_h, img_w, 3)))
     pcfg = proc_mod.PipelineConfig()
@@ -94,7 +97,7 @@ def main() -> None:
     backbone = resnet.ResNet(
         stage_sizes=resnet.RESNET50_STAGES,
         return_stages=(dcfg.backbone_stage,),
-        dilate_last=dcfg.dilation, dtype=dtype)
+        dilate_last=dcfg.dilation, dtype=dtype, stem=dcfg.stem)
     bb_params = {"params": params["params"]["backbone"]}
 
     def stage_backbone(p, x):

@@ -99,6 +99,57 @@ def test_nms_3d_suppression_rules():
     assert keep.tolist() == [True, False, True, False, False]
 
 
+def test_s2d_stem_matches_conv_stem():
+    # the space-to-depth stem is a weight rearrangement, not an
+    # approximation: identical outputs incl. odd H/W (parity padding)
+    from odam_tpu.models import resnet as resnet_mod
+
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.normal(size=(7, 7, 3, 16)).astype(np.float32) * 0.1)
+    for H, W in [(64, 64), (63, 81), (30, 47)]:
+        x = jnp.asarray(rng.normal(size=(2, H, W, 3)).astype(np.float32))
+        a = resnet_mod._stem_conv(x, k, jnp.float32)
+        b = resnet_mod._stem_conv_s2d(x, k, jnp.float32)
+        assert a.shape == b.shape, (H, W)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    # whole backbone: same params, either stem, same features
+    model_a = resnet_mod.ResNet(stage_sizes=(1, 1), return_stages=(2,))
+    model_b = resnet_mod.ResNet(stage_sizes=(1, 1), return_stages=(2,),
+                                stem="s2d")
+    x = jnp.asarray(rng.normal(size=(1, 49, 66, 3)).astype(np.float32))
+    params = model_a.init(jax.random.key(0), x)
+    fa = model_a.apply(params, x)[2]
+    fb = model_b.apply(params, x)[2]
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_nms_fixpoint_matches_sequential_sweep():
+    # The fixed-point NMS must reproduce the literal greedy sweep bit-exactly
+    # on dense random scenes (crowded same-class clusters force multi-level
+    # suppression chains, exercising >1 fixpoint round) including score ties.
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        Q = int(rng.integers(1, 64))
+        classes = jnp.asarray(rng.integers(0, 3, Q).astype(np.int32))
+        # quantized scores so exact ties occur
+        scores = jnp.asarray((rng.integers(0, 8, Q) / 8.0).astype(np.float32))
+        t_co = jnp.asarray(rng.uniform(-2, 2, (Q, 3)).astype(np.float32))
+        dims = jnp.asarray(rng.uniform(0.5, 3.0, (Q, 3)).astype(np.float32))
+        xy = rng.uniform(0, 200, (Q, 2))
+        wh = rng.uniform(20, 150, (Q, 2))
+        boxes = jnp.asarray(
+            np.concatenate([xy, xy + wh], axis=1).astype(np.float32))
+        valid = jnp.asarray(rng.uniform(size=Q) > 0.2)
+        got = np.asarray(detr_mod.nms_3d_mask(
+            classes, scores, t_co, dims, boxes, valid))
+        want = np.asarray(detr_mod._nms_3d_mask_sequential(
+            classes, scores, t_co, dims, boxes, valid))
+        assert got.tolist() == want.tolist(), f"trial {trial}"
+
+
 def test_postprocess_fixed_shapes():
     B, Q, C = 1, 12, 8
     rng = np.random.default_rng(0)
