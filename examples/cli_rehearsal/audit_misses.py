@@ -117,10 +117,15 @@ def main():
     ap.add_argument("--min_views", type=int, default=10)
     ap.add_argument("--threshold", type=float, default=0.25)
     ap.add_argument("--json_out", default=None)
+    ap.add_argument("--seeds", default=None,
+                    help="comma list of layout seeds (default hard.EVAL_SEEDS;"
+                         " the big split is 0-17, ablate_big.py)")
     args = ap.parse_args()
 
+    seeds = (hard.EVAL_SEEDS if args.seeds is None
+             else [int(s) for s in args.seeds.split(",")])
     all_rows, all_fps = [], []
-    for seed in hard.EVAL_SEEDS:
+    for seed in seeds:
         rows, fps = audit_scene(seed, args.result_dir, args.min_views,
                                 args.threshold)
         all_rows += rows

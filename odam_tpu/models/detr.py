@@ -226,7 +226,13 @@ def nms_3d_mask(classes: Array, scores: Array, t_co: Array, dims: Array,
 
     Reference semantics (detr.py:161-205): process by descending score;
     suppress later candidates of the same class with axis-aligned 3D IoU >
-    0.25, or (any class) 2D IoU > 0.5.
+    0.25, or (any class) 2D IoU > 0.5.  One deliberate divergence: on EXACT
+    score ties the reference's ``np.argsort(scores)[::-1]`` ranks the
+    higher index first, while both of this module's formulations rank the
+    lower index first (a stable, contiguous-memory order).  Exact float
+    ties between distinct softmax outputs do not occur in practice; the two
+    in-repo paths (fixpoint + sequential oracle) use the same rule so they
+    bit-match each other.
 
     Computed as a fixed point instead of the Q-step sequential sweep: greedy
     NMS is the unique solution of ``keep_i = valid_i and no higher-ranked

@@ -25,12 +25,16 @@ class _StemKernel(nn.Module):
     """Owns the stem conv weight at the standard ``conv1/kernel`` tree path
     so both stem execution strategies share one ported checkpoint layout."""
 
+    in_ch: int = 3
+    features: int = 64
+
     @nn.compact
     def __call__(self) -> Array:
         # lecun_normal = nn.Conv's default, so checkpoints and seeded inits
         # are identical to the previous nn.Conv(name="conv1") formulation
         return self.param(
-            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64))
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, self.in_ch, self.features))
 
 
 def _stem_conv(x: Array, kernel: Array, dtype: Any) -> Array:
@@ -157,7 +161,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> dict[int, Array]:
         x = x.astype(self.dtype)
-        kernel = _StemKernel(name="conv1")()
+        kernel = _StemKernel(in_ch=x.shape[-1], name="conv1")()
         stem_fn = _stem_conv_s2d if self.stem == "s2d" else _stem_conv
         x = stem_fn(x, kernel, self.dtype)
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)

@@ -51,6 +51,38 @@ def transformer_flops(L, Q, d, ffn, enc_layers, dec_layers, heads_out=7):
     return enc + dec + heads
 
 
+def conv_flops_per_stage(h, w):
+    """Per-stage forward FLOPs of ResNet-50: {stem, layer1..4} (2*MACs)."""
+    stages = {}
+    flops = 0.0
+
+    def conv(cin, cout, k, s, hw):
+        nonlocal flops
+        oh, ow = hw[0] // s, hw[1] // s
+        flops += 2.0 * oh * ow * cin * cout * k * k
+        return (oh, ow)
+
+    hw = conv(3, 64, 7, 2, (h, w))
+    stages["stem"] = flops
+    hw = (hw[0] // 2, hw[1] // 2)  # maxpool
+    cin = 64
+    for stage, (blocks, mid) in enumerate(
+        [(3, 64), (4, 128), (6, 256), (3, 512)]
+    ):
+        mark = flops
+        for b in range(blocks):
+            s = 2 if (b == 0 and stage > 0) else 1
+            conv(cin, mid, 1, 1, hw)
+            hw2 = conv(mid, mid, 3, s, hw)
+            conv(mid, mid * 4, 1, 1, hw2)
+            if b == 0:
+                conv(cin, mid * 4, 1, s, hw)
+            hw = hw2
+            cin = mid * 4
+        stages[f"layer{stage + 1}"] = flops - mark
+    return stages
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -74,6 +106,13 @@ def main() -> None:
     ap.add_argument("--stem", choices=["conv", "s2d"], default="conv",
                     help="backbone stem A/B: literal 7x7/s2 conv vs the "
                          "space-to-depth rewrite (same math)")
+    ap.add_argument("--per_stage", action="store_true",
+                    help="also attribute the backbone per stage (stem + "
+                         "layer1..4) via cumulative-prefix knockout: stage "
+                         "k's cost = prefix(k) - prefix(k-1); XLA dead-code-"
+                         "eliminates the unrequested deeper stages.  This is "
+                         "the MEASURED per-layer conv roofline (VERDICT r4 "
+                         "weak #5) replacing the argued one")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -170,6 +209,56 @@ def main() -> None:
         all_f = sum(flops.values()) * B
         print(f"  whole-program MFU: "
               f"{100 * all_f / total / 1e12 / PEAK_TFLOPS:.1f}%")
+
+        if args.per_stage:
+            # Cumulative-prefix knockout inside the backbone.  prefix(k)
+            # jits the ResNet asking only for stage k's output — XLA
+            # dead-code-eliminates stages k+1.. — so stage k's cost is
+            # prefix(k) - prefix(k-1).  prefix(0) is the stem conv alone
+            # (bn/relu/maxpool land in layer1's bucket; they are
+            # bandwidth-bound elementwise ops, noted not hidden).
+            stage_f = conv_flops_per_stage(img_h, img_w)
+            kernel = params["params"]["backbone"]["conv1"]["kernel"]
+            stem_fn = (resnet._stem_conv_s2d if args.stem == "s2d"
+                       else resnet._stem_conv)
+            prefix_fns = {0: jax.jit(lambda p, xx: stem_fn(xx.astype(dtype),
+                                                           kernel, dtype))}
+            for k in range(1, 5):
+                bb_k = resnet.ResNet(
+                    stage_sizes=resnet.RESNET50_STAGES, return_stages=(k,),
+                    dilate_last=dcfg.dilation, dtype=dtype, stem=dcfg.stem)
+                prefix_fns[k] = jax.jit(
+                    lambda p, xx, m=bb_k, kk=k: m.apply(bb_params, xx)[kk])
+            pre_ms = {}
+            for k, jf in prefix_fns.items():
+                t0 = time.time()
+                force(jf(params, x))
+                print(f"B={B} prefix({k}): compile {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+                times = []
+                for _ in range(args.passes):
+                    t0 = time.time()
+                    for _ in range(args.reps):
+                        r = jf(params, x)
+                    force(r)
+                    times.append((time.time() - t0) / args.reps)
+                pre_ms[k] = float(np.median(times))
+            names = ["stem", "layer1", "layer2", "layer3", "layer4"]
+            print(f"  per-stage backbone attribution (stem={args.stem}; "
+                  f"prefix-knockout, medians of {args.passes}):")
+            prev = 0.0
+            for k, name in enumerate(names):
+                t = max(pre_ms[k] - prev, 1e-9)
+                prev = pre_ms[k]
+                fl = stage_f[name] * B
+                tf = fl / t / 1e12
+                mfu = 100 * tf / PEAK_TFLOPS
+                share = 100 * t / med["backbone"]
+                extra = " (+bn/relu/maxpool)" if name == "layer1" else ""
+                print(f"  {name:>18}: {t * 1e3:7.2f} ms  {share:5.1f}% of "
+                      f"backbone  {tf:6.1f} TF/s  MFU {mfu:5.1f}%{extra}")
+            print(f"  prefix(4) {pre_ms[4] * 1e3:.2f} ms vs whole backbone "
+                  f"{med['backbone'] * 1e3:.2f} ms (consistency check)")
 
     if args.trace_dir:
         from odam_tpu.utils.metrics import profiler_trace
