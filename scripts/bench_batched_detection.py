@@ -76,8 +76,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--peak_tflops", type=float, default=197.0,
                     help="chip peak (v5e bf16 = 197 TFLOP/s; 394 is int8)")
-    ap.add_argument("--stem", choices=["conv", "s2d"], default="conv",
-                    help="backbone stem A/B (s2d = space-to-depth rewrite)")
+    ap.add_argument("--stem", choices=["conv", "s2d", "im2col"], default="conv",
+                    help="backbone stem A/B (s2d = space-to-depth rewrite; "
+                         "im2col = patch-matrix matmul)")
     args = ap.parse_args()
 
     from odam_tpu import config as config_mod

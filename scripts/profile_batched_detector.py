@@ -103,9 +103,11 @@ def main() -> None:
     ap.add_argument("--pallas", choices=["on", "off"], default="on",
                     help="attention impl A/B: the round-3 kernel table shows "
                          "XLA ahead of the Pallas kernels at bf16")
-    ap.add_argument("--stem", choices=["conv", "s2d"], default="conv",
-                    help="backbone stem A/B: literal 7x7/s2 conv vs the "
-                         "space-to-depth rewrite (same math)")
+    ap.add_argument("--stem", choices=["conv", "s2d", "im2col"],
+                    default="conv",
+                    help="backbone stem A/B/C: literal 7x7/s2 conv vs the "
+                         "space-to-depth rewrite vs patch-matrix matmul "
+                         "(same math, same params)")
     ap.add_argument("--per_stage", action="store_true",
                     help="also attribute the backbone per stage (stem + "
                          "layer1..4) via cumulative-prefix knockout: stage "
@@ -219,8 +221,9 @@ def main() -> None:
             # bandwidth-bound elementwise ops, noted not hidden).
             stage_f = conv_flops_per_stage(img_h, img_w)
             kernel = params["params"]["backbone"]["conv1"]["kernel"]
-            stem_fn = (resnet._stem_conv_s2d if args.stem == "s2d"
-                       else resnet._stem_conv)
+            stem_fn = {"conv": resnet._stem_conv,
+                       "s2d": resnet._stem_conv_s2d,
+                       "im2col": resnet._stem_conv_im2col}[args.stem]
             prefix_fns = {0: jax.jit(lambda p, xx: stem_fn(xx.astype(dtype),
                                                            kernel, dtype))}
             for k in range(1, 5):

@@ -100,8 +100,8 @@ def test_nms_3d_suppression_rules():
 
 
 def test_s2d_stem_matches_conv_stem():
-    # the space-to-depth stem is a weight rearrangement, not an
-    # approximation: identical outputs incl. odd H/W (parity padding)
+    # the space-to-depth and im2col stems are rearrangements, not
+    # approximations: identical outputs incl. odd H/W (parity padding)
     from odam_tpu.models import resnet as resnet_mod
 
     rng = np.random.default_rng(3)
@@ -110,8 +110,11 @@ def test_s2d_stem_matches_conv_stem():
         x = jnp.asarray(rng.normal(size=(2, H, W, 3)).astype(np.float32))
         a = resnet_mod._stem_conv(x, k, jnp.float32)
         b = resnet_mod._stem_conv_s2d(x, k, jnp.float32)
-        assert a.shape == b.shape, (H, W)
+        c = resnet_mod._stem_conv_im2col(x, k, jnp.float32)
+        assert a.shape == b.shape == c.shape, (H, W)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-5)
 
     # whole backbone: same params, either stem, same features
