@@ -53,6 +53,9 @@ EVAL_CELLS = {
     "FAULT_stale_track_bbox": (["--solver", "adam", "--decode", "exact",
                                 "--track_bbox", "sampled"],
                                {"ODAM_FAULT_INJECT": "stale_track_bbox"}),
+    "FAULT_no_border_filter": (["--solver", "adam", "--decode", "exact",
+                                "--track_bbox", "sampled"],
+                               {"ODAM_FAULT_INJECT": "no_border_filter"}),
     "adam_exact_sampled_att0.7": (["--solver", "adam", "--decode", "exact",
                                    "--track_bbox", "sampled",
                                    "--attach_threshold", "0.7"], {}),
@@ -87,6 +90,8 @@ DECISIONS = [
      "full fast profile vs reference semantics"),
     ("adam_exact_sampled", "FAULT_stale_track_bbox",
      "fault injection: stale track bbox MUST be worse"),
+    ("adam_exact_sampled", "FAULT_no_border_filter",
+     "fault injection: unfiltered truncated edges MUST be worse"),
     ("adam_exact_sampled", "adam_exact_sampled_att0.7",
      "attach 0.7 operating point (tuned on tune split)"),
     ("adam_exact_sampled_att0.7", "lm_exact_sampled_att0.7",

@@ -52,6 +52,17 @@ def edge_constraints(bbox_xyxy: np.ndarray, img_h: float, img_w: float,
     kept only if strictly inside the border band.
     """
     b = np.asarray(bbox_xyxy)
+    import os
+
+    if os.environ.get("ODAM_FAULT_INJECT") == "no_border_filter":
+        # Test instrumentation (examples/cli_rehearsal/ablate_big.py): treat
+        # every box edge as a real constraint, including image-truncated
+        # ones — the classic occlusion-handling bug the border filter
+        # exists to prevent (reference tracking_gt_utils.py:199).  A
+        # discriminative benchmark must catch this as a box-quality drop
+        # (mean-object-IoU, and F1 once the error crosses the 0.25 gate).
+        # Never set in production.
+        return np.ones(b.shape[:-1] + (4,), bool)
     lo_x, hi_x = edge_threshold, img_w - edge_threshold
     lo_y, hi_y = edge_threshold, img_h - edge_threshold
     mask = np.stack(
