@@ -19,6 +19,25 @@ Also prints, per GT object, detectable-frame counts (analyze_visibility
 criterion) next to the views the winning track actually assembled — the
 detector+associator "view yield" on the objects that matter.
 
+Round-5 extension (VERDICT r4 #5 — root-cause the bad_box class): every
+non-matched object additionally carries a detector-vs-mapping
+decomposition computed from the result pickle alone (no model re-run):
+
+  dl_iou         IoU of the SAME track's detector-average fallback box
+                 (``bboxes_dl`` — mean t/azi/dims over the track's rows,
+                 optimizer.py corners_detector) vs GT
+  best_row_iou   best single-frame detector estimate: max IoU over the
+                 per-row implied boxes (row cols 6:9 dims | 9:12 t_wo |
+                 12 azi_wo, tracker.py row contract)
+  frame_span     (first, last) frame id the track saw — a narrow span on a
+                 long-detectable object means a truncated view-set
+  blame          bad_box attribution: "mapping" if the detector-average
+                 box alone clears the 0.25 gate (the optimizer made a good
+                 box worse), "detector" if no single frame's estimate
+                 clears it (the heads are wrong everywhere), else
+                 "aggregation" (good frames exist but the fused/averaged
+                 state is bad — association or truncated-view weighting)
+
     PYTHONPATH=.:examples/cli_rehearsal python examples/cli_rehearsal/audit_misses.py \
         --result_dir examples/cli_rehearsal/result_hard/adam_exact_sampled
 """
@@ -41,7 +60,17 @@ from analyze_visibility import visible_flags
 
 from odam_tpu.eval import scan2cad as s2c
 from odam_tpu.mapping.prior import CLASS_MAPPER
-from odam_tpu.utils import host_boxes
+from odam_tpu.utils import geometry as geo, host_boxes
+
+
+def _row_corners(rows: np.ndarray) -> np.ndarray:
+    """Per-row detector-implied 3D boxes [n, 8, 3] from the track-row
+    contract (tracker.py: 6:9 dims | 9:12 t_wo | 12 azi_wo)."""
+    import jax.numpy as jnp
+
+    return np.asarray(geo.box3d_corners(
+        jnp.asarray(rows[:, 6:9]), jnp.asarray(rows[:, 12]),
+        jnp.asarray(rows[:, 9:12])))
 
 
 def audit_scene(seed: int, result_dir: str, min_views: int = 10,
@@ -54,8 +83,9 @@ def audit_scene(seed: int, result_dir: str, min_views: int = 10,
     path = os.path.join(result_dir, scene, scene)
     with open(path, "rb") as f:
         data = pickle.load(f)
-    tracks = data["tracks"]
+    tracks = [np.asarray(t, np.float64) for t in data["tracks"]]
     boxes = [np.asarray(b, np.float64) for b in data["bboxes_qc"]]
+    boxes_dl = [np.asarray(b, np.float64) for b in data["bboxes_dl"]]
     classes = [CLASS_MAPPER.get(int(np.median(t[:, 1]))) for t in tracks]
     views = [len(t) for t in tracks]
 
@@ -97,13 +127,33 @@ def audit_scene(seed: int, result_dir: str, min_views: int = 10,
             mode = "wrong_class"
         else:
             mode = "stolen"
-        rows.append({
+        row = {
             "scene": scene, "gt": g, "class": cat,
             "detectable_frames": int(detectable[g]),
             "mode": mode, "best_iou": round(best_iou, 3),
             "track_views": int(views[best]) if best >= 0 else 0,
             "track_class": classes[best] if best >= 0 else None,
-        })
+        }
+        # detector-vs-mapping decomposition for every non-matched object
+        # that has SOME overlapping track (VERDICT r4 #5)
+        if mode not in ("matched", "no_track") and best >= 0:
+            gt_c = np.asarray(gt_box)
+            dl_iou = float(host_boxes.box3d_iou(gt_c, boxes_dl[best])[0])
+            per_row = _row_corners(tracks[best])
+            row_ious = [host_boxes.box3d_iou(gt_c, c)[0] for c in per_row]
+            best_row_iou = float(max(row_ious)) if row_ious else 0.0
+            fids = tracks[best][:, 0].astype(int)
+            row["dl_iou"] = round(dl_iou, 3)
+            row["best_row_iou"] = round(best_row_iou, 3)
+            row["frame_span"] = [int(fids.min()), int(fids.max())]
+            if mode == "bad_box":
+                if dl_iou > threshold:
+                    row["blame"] = "mapping"
+                elif best_row_iou <= threshold:
+                    row["blame"] = "detector"
+                else:
+                    row["blame"] = "aggregation"
+        rows.append(row)
     # unclaimed >= min_views predictions are the precision hits
     fps = [i for i in eligible if i not in claimed_by.values()]
     return rows, [{"scene": scene, "track": i, "class": classes[i],
@@ -136,10 +186,16 @@ def main():
     print(hdr)
     print("-" * len(hdr))
     for r in all_rows:
+        extra = ""
+        if "dl_iou" in r:
+            extra = (f"  dl {r['dl_iou']:.3f} bestrow {r['best_row_iou']:.3f}"
+                     f" span {r['frame_span'][0]}-{r['frame_span'][1]}")
+            if "blame" in r:
+                extra += f" -> {r['blame']}"
         print(f"{r['scene']:>14} {r['gt']:>3} {r['class']:>10} "
               f"{r['detectable_frames']:>10} {r['mode']:>12} "
               f"{r['best_iou']:>8.3f} {r['track_views']:>5} "
-              f"{str(r['track_class']):>10}")
+              f"{str(r['track_class']):>10}{extra}")
     n = len(all_rows)
     matched = sum(r["mode"] == "matched" for r in all_rows)
     print(f"\nmatched {matched}/{n} (recall {matched / n:.3f})")
@@ -149,6 +205,9 @@ def main():
             by_mode[r["mode"]] = by_mode.get(r["mode"], 0) + 1
     for m, c in sorted(by_mode.items(), key=lambda kv: -kv[1]):
         print(f"  {m}: {c}")
+    blames = [r["blame"] for r in all_rows if "blame" in r]
+    if blames:
+        print("bad_box blame:", {b: blames.count(b) for b in set(blames)})
     if all_fps:
         print(f"unmatched predictions (precision hits): {len(all_fps)}")
         for p in all_fps:

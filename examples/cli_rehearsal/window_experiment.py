@@ -22,6 +22,23 @@ Protocol (all from-scratch in this repo; VERDICT r4 item #4):
      plus a fragmentation count (final tracks with >= min_views rows per
      GT object actually matched).
 
+Round-5 re-run (VERDICT r4 weak #6 / next #7): the round-4 step-matched
+design left "the w400 arm is under-trained at 300 steps" as a standing
+excuse — the w400 fuser both adapts to a harder regime (attention over 4x
+rows) and was only ever trained 300 updates.  The re-run removes it:
+
+  - ``--ft_steps_w400`` gives the w400 arm its own (larger) update budget
+    — default 4x the w100 arm's, i.e. ~64x the FLOPs of the round-4 w400
+    arm relative to w100-300 (the w400 step is already ~16x costlier, so
+    this is compute-matched in the only direction a skeptic can contest:
+    the w400 arm gets strictly MORE of everything);
+  - both arms report a convergence check: mean loss over the last eighth
+    of training vs the preceding eighth (a plateaued arm cannot be called
+    under-trained);
+  - ``--n_scenes`` enlarges the long split beyond the original 3 scenes
+    (seeds 0..n-1, 480 frames each) so the decision delta is read against
+    a scene-bootstrap CI (ci_eval.py) instead of a 1-2-object flip.
+
 Writes result_window/window_experiment.json and prints the table.
 
     PYTHONPATH=.:examples/cli_rehearsal python examples/cli_rehearsal/window_experiment.py
@@ -59,19 +76,31 @@ def sh(cmd, env_extra=None, timeout=None):
     return r.stdout, time.time() - t0
 
 
-def ensure_data(data):
-    if not os.path.exists(os.path.join(data, "val.txt")):
-        print("writing long-stream split...", flush=True)
-        out, dt = sh([sys.executable,
-                      os.path.join(HERE, "make_dataset.py"), "--long", data])
-        print(out.strip().splitlines()[-1], f"[{dt:.0f}s]", flush=True)
+def ensure_data(data, n_scenes=3):
+    val = os.path.join(data, "val.txt")
+    if os.path.exists(val):
+        with open(val) as f:
+            if len([l for l in f if l.strip()]) >= n_scenes:
+                return
+    print(f"writing long-stream split ({n_scenes} scenes x "
+          f"{STREAM_FRAMES} frames)...", flush=True)
+    sys.path.insert(0, HERE)
+    import make_dataset
+
+    t0 = time.time()
+    make_dataset.main_hard(data, seeds=tuple(range(n_scenes)),
+                           n_frames=STREAM_FRAMES)
+    print(f"[{time.time() - t0:.0f}s]", flush=True)
 
 
 def finetune(window, base_ckpt, out_ckpt, steps=FT_STEPS):
-    """Fine-tune the committed associator on long streams at ``window``."""
+    """Fine-tune the committed associator on long streams at ``window``.
+
+    Returns the banked-loss trajectory (for the convergence check); [] if
+    the checkpoint already existed."""
     if os.path.exists(os.path.join(out_ckpt, "odam_meta.json")):
         print(f"{out_ckpt}: already trained", flush=True)
-        return
+        return []
     if os.path.exists(out_ckpt):
         shutil.rmtree(out_ckpt)
     shutil.copytree(base_ckpt, out_ckpt)
@@ -86,9 +115,17 @@ def finetune(window, base_ckpt, out_ckpt, steps=FT_STEPS):
         env_extra={"ODAM_HARD": "1", "ODAM_WINDOW": str(window),
                    "ODAM_STREAM_FRAMES": str(STREAM_FRAMES)},
     )
-    nll = re.findall(r"loss ([0-9.]+)", out)
+    nll = [float(x) for x in re.findall(r"loss ([0-9.]+)", out)]
+    conv = ""
+    if len(nll) >= 8:
+        q = max(1, len(nll) // 4)
+        last, prev = nll[-q:], nll[-2 * q:-q]
+        conv = (f"  convergence: last-quarter mean {sum(last) / q:.3f} vs "
+                f"prev {sum(prev) / q:.3f} "
+                f"({(sum(last) - sum(prev)) / sum(prev) * 100:+.1f}%)")
     print(f"w{window} fine-tune ({steps} steps): final NLL "
-          f"{nll[-1] if nll else '?'} [{dt:.0f}s]", flush=True)
+          f"{nll[-1] if nll else '?'} [{dt:.0f}s]{conv}", flush=True)
+    return nll
 
 
 def run_arm(data, out_root, window, assoc_ckpt, detector_ckpt, min_views):
@@ -144,23 +181,51 @@ def main():
                     default=os.path.join(REPO, "artifacts/rehearsal_hard_assoc_ckpt"))
     ap.add_argument("--min_views", type=int, default=10)
     ap.add_argument("--ft_steps", type=int, default=FT_STEPS)
+    ap.add_argument("--ft_steps_w400", type=int, default=None,
+                    help="w400 arm's own update budget (default 4x "
+                         "--ft_steps: the compute-matched round-5 design)")
+    ap.add_argument("--n_scenes", type=int, default=3,
+                    help="long-split size (seeds 0..n-1); >3 enables the "
+                         "scene-bootstrap CI on the decision delta")
+    ap.add_argument("--json_name", default="window_experiment.json")
     args = ap.parse_args()
 
-    ensure_data(args.data)
+    ensure_data(args.data, args.n_scenes)
     os.makedirs(args.out, exist_ok=True)
-    results = []
-    for window in (100, 400):
+    w400_steps = args.ft_steps_w400 or 4 * args.ft_steps
+    results, losses = [], {}
+    for window, steps in ((100, args.ft_steps), (400, w400_steps)):
         ck = os.path.join(args.out, f"assoc_w{window}_long_ckpt")
-        finetune(window, args.base_assoc, ck, steps=args.ft_steps)
-        results.append(run_arm(args.data, args.out, window, ck,
-                               args.detector_ckpt, args.min_views))
-        with open(os.path.join(args.out, "window_experiment.json"), "w") as f:
+        losses[window] = finetune(window, args.base_assoc, ck, steps=steps)
+        r = run_arm(args.data, args.out, window, ck,
+                    args.detector_ckpt, args.min_views)
+        r["ft_steps"] = steps
+        r["banked_losses"] = losses[window]
+        results.append(r)
+        with open(os.path.join(args.out, args.json_name), "w") as f:
             json.dump(results, f, indent=1)
     if len(results) == 2:
         d = results[1]["f1"] - results[0]["f1"]
         print(f"window 400 vs 100: dF1 {d:+.3f}, "
               f"dR {results[1]['recall'] - results[0]['recall']:+.3f}, "
               f"tracks {results[0]['tracks']} -> {results[1]['tracks']}")
+        # scene-bootstrap paired delta (decision-grade when n_scenes > 3)
+        import ci_eval
+
+        tables = {w: ci_eval.scene_table(
+            os.path.join(args.out, f"window{w}"), args.data,
+            min_views=args.min_views) for w in (100, 400)}
+        delta = ci_eval.paired_delta(tables[100], tables[400], 10000)
+        for w in (100, 400):
+            m = ci_eval.bootstrap_ci(tables[w], 10000)
+            print(ci_eval.fmt_cell(f"window{w}", m), flush=True)
+        f1d, md = delta["f1"], delta["mean_obj_iou"]
+        print(f"DELTA w400 - w100: dF1 {f1d['delta']:+.3f} CI "
+              f"[{f1d['ci'][0]:+.3f},{f1d['ci'][1]:+.3f}]  dmIoU "
+              f"{md['delta']:+.3f} CI [{md['ci'][0]:+.3f},{md['ci'][1]:+.3f}]")
+        results.append({"paired_delta_w400_minus_w100": delta})
+        with open(os.path.join(args.out, args.json_name), "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
