@@ -68,6 +68,11 @@ EVAL_CELLS = {
     "rep_cube": (["--solver", "adam", "--decode", "exact",
                   "--track_bbox", "sampled",
                   "--representation", "cube"], {}),
+    # reported on eval ONLY because the tune split selected it (round-5
+    # miss-decomposition fix: median track aggregation, VERDICT r4 #5)
+    "adam_exact_sampled_att0.7_robust": (
+        ["--solver", "adam", "--decode", "exact", "--track_bbox", "sampled",
+         "--attach_threshold", "0.7", "--robust_init"], {}),
 }
 
 TUNE_CELLS = {
@@ -76,6 +81,9 @@ TUNE_CELLS = {
     "tune_att0.7": (["--solver", "adam", "--decode", "exact",
                      "--track_bbox", "sampled",
                      "--attach_threshold", "0.7"], {}),
+    "tune_att0.7_robust": (["--solver", "adam", "--decode", "exact",
+                            "--track_bbox", "sampled",
+                            "--attach_threshold", "0.7", "--robust_init"], {}),
 }
 
 # keep/cut decisions -> (cell A, cell B, the round-4 claim being re-tested)
@@ -100,6 +108,9 @@ DECISIONS = [
      "representation=quadric vs super_quadric"),
     ("adam_exact_sampled", "rep_cube",
      "representation=cube vs super_quadric"),
+    ("adam_exact_sampled_att0.7", "adam_exact_sampled_att0.7_robust",
+     "robust (median) track aggregation vs reference mean (miss-"
+     "decomposition fix; selected on the tune split)"),
 ]
 
 

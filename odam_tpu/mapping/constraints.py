@@ -83,6 +83,14 @@ def _circular_mean(angles: np.ndarray) -> float:
     return float(np.arctan2(np.mean(np.sin(angles)), np.mean(np.cos(angles))))
 
 
+def _circular_median(angles: np.ndarray) -> float:
+    """Angular median: the observed yaw minimizing summed wrapped |distance|
+    to the others (robust to a few truncated-view outlier rows)."""
+    a = np.asarray(angles, np.float64)
+    d = np.abs(np.angle(np.exp(1j * (a[:, None] - a[None, :]))))
+    return float(a[np.argmin(d.sum(axis=1))])
+
+
 def build_scene_constraints(
     tracks: list[np.ndarray],
     frame_ids: np.ndarray,
@@ -93,6 +101,7 @@ def build_scene_constraints(
     max_views: int,
     min_views: int = 10,
     edge_threshold: float = EDGE_THRESHOLD,
+    robust_init: bool = False,
 ) -> SceneConstraints:
     """Pack ragged tracks into fixed-shape constraint tensors.
 
@@ -102,6 +111,15 @@ def build_scene_constraints(
         P_cws: [F, 3, 4] world->pixel projection per usable frame.
         max_objs: O (objects beyond this are dropped, longest-first).
         max_views: V (observations beyond this are uniformly strided down).
+        robust_init: median (instead of mean) per-row translation/dims and
+            the angular-median yaw for the object init state.  The round-5
+            miss decomposition (audit_misses.py, MEASURED.md) found the
+            dominant bad_box cause is AGGREGATION — single-frame detector
+            estimates clear the 0.25 gate but the mean over a track with a
+            few truncated-view outlier rows does not — and the same mean
+            also seeds the solver and the detector-average fallback box.
+            Default False = the reference's mean semantics
+            (run_multi_view.py:49 get_3d_box on the averaged track state).
     """
     frame_ids = np.asarray(frame_ids)
     P_cws = np.asarray(P_cws, dtype=np.float32)
@@ -139,9 +157,14 @@ def build_scene_constraints(
 
         out.obj_valid[slot] = True
         out.obj_class[slot] = int(np.median(rows[:, 1]))
-        out.init_translate[slot] = rows[:, 9:12].mean(axis=0)
-        out.init_angle[slot] = _circular_mean(rows[:, 12])
-        out.init_dims[slot] = rows[:, 6:9].mean(axis=0)
+        if robust_init:
+            out.init_translate[slot] = np.median(rows[:, 9:12], axis=0)
+            out.init_angle[slot] = _circular_median(rows[:, 12])
+            out.init_dims[slot] = np.median(rows[:, 6:9], axis=0)
+        else:
+            out.init_translate[slot] = rows[:, 9:12].mean(axis=0)
+            out.init_angle[slot] = _circular_mean(rows[:, 12])
+            out.init_dims[slot] = rows[:, 6:9].mean(axis=0)
         out.n_views[slot] = len(rows)
         out.optimize_mask[slot] = len(rows) >= min_views
 

@@ -49,6 +49,7 @@ class PipelineConfig:
     optim_iters: int = 200
     optim_samples: int = 1000
     min_views: int = 10
+    robust_init: bool = False  # median (vs reference mean) mapping init
     max_objs: int = 64       # mapping-stage object capacity
     max_views: int = 256     # mapping-stage views per object
     max_log_frames: int = 6000  # device observation-log capacity per scene
@@ -498,7 +499,7 @@ class OdamPipeline:
         sc = constraints.build_scene_constraints(
             tracks, np.asarray(seq["usable_frames"]), np.asarray(seq["P_cws"]),
             seq["img_h"], seq["img_w"], cfg.max_objs, cfg.max_views,
-            cfg.min_views,
+            cfg.min_views, robust_init=cfg.robust_init,
         )
         init = sq.init_params(
             jnp.asarray(sc.init_translate), jnp.asarray(sc.init_angle),

@@ -216,6 +216,12 @@ def main():
                     help="Sinkhorn attach/new-track score gate (the "
                          "reference's hardcoded 0.8, processor.py:226-229); "
                          "exposed for operating-point tuning")
+    ap.add_argument("--robust_init", action="store_true",
+                    help="median (vs the reference's mean, "
+                         "run_multi_view.py:49) track aggregation for the "
+                         "mapping init + detector-average fallback box — "
+                         "attacks the measured bad_box 'aggregation' miss "
+                         "class (audit_misses.py, MEASURED.md round 5)")
     ap.add_argument("--use_prior", action="store_true")
     ap.add_argument("--no_code", action="store_true")
     ap.add_argument("--representation", default="super_quadric",
@@ -305,6 +311,7 @@ def main():
         track_bbox_mode=track_bbox,
         optim_solver=args.solver,
         min_views=args.min_views,
+        robust_init=args.robust_init,
         max_objs=args.max_objs,
         max_views=args.max_views,
         window=args.window,

@@ -168,6 +168,40 @@ def test_build_scene_constraints_padding():
     assert sc.view_mask[1].sum() == 3
 
 
+def test_build_scene_constraints_robust_init():
+    """Median aggregation shrugs off outlier rows the mean cannot
+    (the round-5 bad_box 'aggregation' miss class, audit_misses.py);
+    default (mean) semantics stay reference-exact."""
+    rng = np.random.default_rng(1)
+    frame_ids = np.arange(20)
+    P_cws = rng.normal(size=(20, 3, 4)).astype(np.float32)
+    t = np.zeros((15, 82))
+    t[:, 0] = np.arange(15)
+    t[:, 1] = 5
+    t[:, 2:6] = [100, 100, 200, 200]
+    t[:, 6:9] = [1.0, 1.0, 1.0]
+    t[:, 9:12] = [0.0, 0.0, 1.0]
+    t[:, 12] = 0.1
+    # two truncated-view outlier rows with wildly wrong dims/center/yaw
+    t[3, 6:9], t[3, 9:12], t[3, 12] = [6.0, 6.0, 6.0], [4.0, 4.0, 4.0], 2.8
+    t[9, 6:9], t[9, 9:12], t[9, 12] = [5.0, 0.1, 4.0], [-3.0, 2.0, 0.0], -2.5
+
+    mean_sc = constraints.build_scene_constraints(
+        [t], frame_ids, P_cws, IMG_H, IMG_W, max_objs=2, max_views=16,
+        min_views=10)
+    rob_sc = constraints.build_scene_constraints(
+        [t], frame_ids, P_cws, IMG_H, IMG_W, max_objs=2, max_views=16,
+        min_views=10, robust_init=True)
+    # median lands on the clean majority value; mean is dragged off it
+    np.testing.assert_allclose(rob_sc.init_dims[0], [1.0, 1.0, 1.0])
+    np.testing.assert_allclose(rob_sc.init_translate[0], [0.0, 0.0, 1.0])
+    assert abs(rob_sc.init_angle[0] - 0.1) < 1e-6
+    assert np.abs(mean_sc.init_dims[0] - 1.0).max() > 0.2
+    assert np.abs(mean_sc.init_translate[0] - [0, 0, 1]).max() > 0.05
+    # the default path is the reference's mean (unchanged semantics)
+    np.testing.assert_allclose(mean_sc.init_dims[0], t[:, 6:9].mean(0))
+
+
 def test_prior_table_shapes():
     table = prior.prior_invcov_table()
     assert table.shape == (8, 3, 3)
