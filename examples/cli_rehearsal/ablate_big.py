@@ -96,6 +96,12 @@ DECISIONS = [
      "projection axis: closed-form vs sampled (claimed neutral)"),
     ("adam_exact_sampled", "lm_greedy_exact",
      "full fast profile vs reference semantics"),
+    # decode+projection tested JOINTLY at the LM point: with the solver
+    # axis held fixed this isolates exactly the two "claimed neutral"
+    # substitutions (each also per-op equivalence-tested), so the two
+    # single-axis 18-scene cells are not re-run on the 1-core host
+    ("lm_exact_sampled", "lm_greedy_exact",
+     "decode+projection axes jointly at LM (claimed neutral)"),
     ("adam_exact_sampled", "FAULT_stale_track_bbox",
      "fault injection: stale track bbox MUST be worse"),
     ("adam_exact_sampled", "FAULT_no_border_filter",
