@@ -32,6 +32,13 @@ import os
 
 import numpy as np
 
+# Scoring is pure host NumPy, but the odam_tpu import chain touches jax —
+# force CPU before any backend use (this image's axon TPU plugin ignores
+# the JAX_PLATFORMS env var alone; same guard as tests/conftest.py).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 from odam_tpu.eval import scan2cad as s2c
 from odam_tpu.utils import host_boxes
 
