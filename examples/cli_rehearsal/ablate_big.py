@@ -56,6 +56,9 @@ EVAL_CELLS = {
     "FAULT_no_border_filter": (["--solver", "adam", "--decode", "exact",
                                 "--track_bbox", "sampled"],
                                {"ODAM_FAULT_INJECT": "no_border_filter"}),
+    "FAULT_off_by_one_pose": (["--solver", "adam", "--decode", "exact",
+                               "--track_bbox", "sampled"],
+                              {"ODAM_FAULT_INJECT": "off_by_one_pose"}),
     "adam_exact_sampled_att0.7": (["--solver", "adam", "--decode", "exact",
                                    "--track_bbox", "sampled",
                                    "--attach_threshold", "0.7"], {}),
@@ -106,6 +109,8 @@ DECISIONS = [
      "fault injection: stale track bbox MUST be worse"),
     ("adam_exact_sampled", "FAULT_no_border_filter",
      "fault injection: unfiltered truncated edges MUST be worse"),
+    ("adam_exact_sampled", "FAULT_off_by_one_pose",
+     "fault injection: off-by-one pose indexing MUST be worse"),
     ("adam_exact_sampled", "adam_exact_sampled_att0.7",
      "attach 0.7 operating point (tuned on tune split)"),
     ("adam_exact_sampled_att0.7", "lm_exact_sampled_att0.7",

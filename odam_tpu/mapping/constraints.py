@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import numpy as np
 
 TRACK_DIM = 82
@@ -52,8 +54,6 @@ def edge_constraints(bbox_xyxy: np.ndarray, img_h: float, img_w: float,
     kept only if strictly inside the border band.
     """
     b = np.asarray(bbox_xyxy)
-    import os
-
     if os.environ.get("ODAM_FAULT_INJECT") == "no_border_filter":
         # Test instrumentation (examples/cli_rehearsal/ablate_big.py): treat
         # every box edge as a real constraint, including image-truncated
@@ -178,6 +178,17 @@ def build_scene_constraints(
         out.box_mask[slot, :k] = edge_constraints(
             rows[:, 2:6], img_h, img_w, edge_threshold
         ).astype(np.float32)
-        out.P_cw[slot, :k] = P_cws[fids]
+        if os.environ.get("ODAM_FAULT_INJECT") == "off_by_one_pose":
+            # Test instrumentation (examples/cli_rehearsal/ablate_big.py):
+            # pair every observation with the PREVIOUS usable frame's
+            # projection — the classic ragged-packing indexing bug this
+            # builder could plausibly have.  On an orbiting camera each
+            # pose step is ~10 deg, so every edge constraint is consistently
+            # wrong; a discriminative benchmark must catch this in the
+            # threshold-free mean-object-IoU and in F1.  Never set in
+            # production.
+            out.P_cw[slot, :k] = P_cws[np.maximum(fids - 1, 0)]
+        else:
+            out.P_cw[slot, :k] = P_cws[fids]
 
     return out

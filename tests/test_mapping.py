@@ -202,6 +202,29 @@ def test_build_scene_constraints_robust_init():
     np.testing.assert_allclose(mean_sc.init_dims[0], t[:, 6:9].mean(0))
 
 
+def test_fault_off_by_one_pose_plumbing(monkeypatch):
+    """ODAM_FAULT_INJECT=off_by_one_pose pairs each observation with the
+    PREVIOUS usable frame's projection (the injected indexing-bug class,
+    examples/cli_rehearsal/ablate_big.py); unset, packing is exact."""
+    rng = np.random.default_rng(2)
+    frame_ids = np.arange(20)
+    P_cws = rng.normal(size=(20, 3, 4)).astype(np.float32)
+    t = np.zeros((12, 82))
+    t[:, 0] = np.arange(2, 14)  # frames 2..13
+    t[:, 1] = 5
+    t[:, 2:6] = [100, 100, 200, 200]
+
+    clean = constraints.build_scene_constraints(
+        [t], frame_ids, P_cws, IMG_H, IMG_W, max_objs=2, max_views=16,
+        min_views=10)
+    monkeypatch.setenv("ODAM_FAULT_INJECT", "off_by_one_pose")
+    bad = constraints.build_scene_constraints(
+        [t], frame_ids, P_cws, IMG_H, IMG_W, max_objs=2, max_views=16,
+        min_views=10)
+    np.testing.assert_allclose(clean.P_cw[0, :12], P_cws[2:14])
+    np.testing.assert_allclose(bad.P_cw[0, :12], P_cws[1:13])
+
+
 def test_prior_table_shapes():
     table = prior.prior_invcov_table()
     assert table.shape == (8, 3, 3)
