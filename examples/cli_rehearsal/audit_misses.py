@@ -49,6 +49,13 @@ import os
 import pickle
 import sys
 
+# The decomposition projects per-row boxes through jnp — force CPU before
+# any backend touch (the axon TPU plugin ignores the env var alone; same
+# guard as tests/conftest.py / ci_eval.py).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
