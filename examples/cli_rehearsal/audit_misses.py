@@ -92,7 +92,11 @@ def audit_scene(seed: int, result_dir: str, min_views: int = 10,
         data = pickle.load(f)
     tracks = [np.asarray(t, np.float64) for t in data["tracks"]]
     boxes = [np.asarray(b, np.float64) for b in data["bboxes_qc"]]
-    boxes_dl = [np.asarray(b, np.float64) for b in data["bboxes_dl"]]
+    # bboxes_dl (detector-average fallback boxes) feeds the round-5
+    # detector-vs-mapping blame decomposition; synthetic fixtures without
+    # it still get mode classification, just no blame rows.
+    boxes_dl = ([np.asarray(b, np.float64) for b in data["bboxes_dl"]]
+                if "bboxes_dl" in data else None)
     classes = [CLASS_MAPPER.get(int(np.median(t[:, 1]))) for t in tracks]
     views = [len(t) for t in tracks]
 
@@ -143,7 +147,8 @@ def audit_scene(seed: int, result_dir: str, min_views: int = 10,
         }
         # detector-vs-mapping decomposition for every non-matched object
         # that has SOME overlapping track (VERDICT r4 #5)
-        if mode not in ("matched", "no_track") and best >= 0:
+        if mode not in ("matched", "no_track") and best >= 0 and \
+                boxes_dl is not None:
             gt_c = np.asarray(gt_box)
             dl_iou = float(host_boxes.box3d_iou(gt_c, boxes_dl[best])[0])
             per_row = _row_corners(tracks[best])
